@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned local SparkSession factory for the graft engine.
+  *
+  * Defaults encode the 100-TB design rules scaled to local mode:
+  * AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  * shuffle partitions sized to cores (not the 200 default), UTC session
+  * time zone for oracle parity. On a real cluster the same builder is
+  * used with `master` unset and shuffle partitions derived from input
+  * size (see Scaladoc on [[GraftSession.cluster]]).
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    base(SparkSession.builder().master(s"local[$cores]"), math.max(cores, 8))
+      .getOrCreate()
+
+  /** Cluster form: shuffle partitions are a starting hint only — AQE
+    * coalesces/splits at runtime from map-output sizes, which is the
+    * mechanism that actually holds at 100 TB.
+    */
+  def cluster(shufflePartitions: Int): SparkSession =
+    base(SparkSession.builder(), shufflePartitions).getOrCreate()
+
+  private def base(b: SparkSession.Builder, shuffleParts: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+}

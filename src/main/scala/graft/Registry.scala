@@ -1,0 +1,9 @@
+package graft
+
+/** Single assembly point for every verifiable query (SURVEY.md §2). */
+object Registry {
+  def all: Seq[Q] =
+    graft.queries.Relational.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

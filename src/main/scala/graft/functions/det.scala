@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DecimalType}
+
+/** Determinism helpers (SURVEY.md §6).
+  *
+  * Double aggregation is order-dependent; Spark's partial aggregation
+  * and DuckDB's vectorized aggregation add in different orders, so a
+  * plain `sum(double)` is not bit-reproducible across engines. Routing
+  * the sum through a fixed-scale decimal makes it exact and
+  * order-independent: both engines round each input once (at 6
+  * decimals), sum exactly, and cast the identical decimal to double.
+  * Derived statistics (avg/stddev/corr) are then computed from the
+  * exact decimal sums with the *same* double expression on both sides,
+  * which is bit-identical because IEEE ops are deterministic.
+  */
+object det {
+  val D20_6: DecimalType = DataTypes.createDecimalType(20, 6)
+  /** Wider variant for sums of squares / large products. */
+  val D28_6: DecimalType = DataTypes.createDecimalType(28, 6)
+
+  /** Order-independent, cross-engine-exact sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(D20_6)).cast("double")
+
+  /** Wide variant: use when per-row values can exceed ~1e13. */
+  def dsumw(c: Column): Column = sum(c.cast(D28_6)).cast("double")
+
+  /** Deterministic average = exact decimal sum / count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Deterministic sample stddev from exact decimal moments:
+    * sqrt((n*Σx² − (Σx)²) / (n(n−1))).
+    */
+  def dstddev(x: Column): Column = {
+    val n  = count(lit(1)).cast("double")
+    val sx = dsumw(x)
+    val s2 = dsumw(x * x)
+    sqrt((n * s2 - sx * sx) / (n * (n - lit(1.0))))
+  }
+
+  /** Deterministic Pearson correlation from exact decimal moments. */
+  def dcorr(x: Column, y: Column): Column = {
+    val n   = count(lit(1)).cast("double")
+    val sx  = dsumw(x);     val sy  = dsumw(y)
+    val sxx = dsumw(x * x); val syy = dsumw(y * y)
+    val sxy = dsumw(x * y)
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+}
