@@ -3,7 +3,11 @@ package graft
 /** Single assembly point for every verifiable query (SURVEY.md §2). */
 object Registry {
   def all: Seq[Q] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Windowed.all ++
+      graft.queries.Grouping.all ++
+      graft.queries.Joins.all ++
+      graft.queries.Funnel.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

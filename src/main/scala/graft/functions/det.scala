@@ -40,6 +40,17 @@ object det {
     sqrt((n * s2 - sx * sx) / (n * (n - lit(1.0))))
   }
 
+  /** Deterministic sample variance from exact decimal moments:
+    * (n*Σx² − (Σx)²) / (n(n−1)). Same expression must be written on the
+    * oracle side verbatim so the IEEE evaluation is bit-identical.
+    */
+  def dvar(x: Column): Column = {
+    val n  = count(lit(1)).cast("double")
+    val sx = dsumw(x)
+    val s2 = dsumw(x * x)
+    (n * s2 - sx * sx) / (n * (n - lit(1.0)))
+  }
+
   /** Deterministic Pearson correlation from exact decimal moments. */
   def dcorr(x: Column, y: Column): Column = {
     val n   = count(lit(1)).cast("double")

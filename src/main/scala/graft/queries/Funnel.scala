@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.det._
+import graft.operators.Sessionize
+
+/** Cohort / funnel / sessionization queries (SURVEY.md §2 q19–q21).
+  *
+  * Re-expresses: monthly cohort analysis (/root/reference/SQL/Content
+  * Performance with Cohort Analysis.txt), multi-stage CTE funnels
+  * (18 of 20 reference SQL files open with WITH; e.g.
+  * /root/reference/SQL/User Engagement Funnel Analysis.txt,
+  * Content Catalog Gap Analysis.txt:3-137), and gap sessionization
+  * (/root/reference/SQL/Real-time Personalization Effectiveness.txt
+  * session blocks, /root/reference/SQL/Binge-Watching Behavior
+  * Analysis.txt:13-24 LAG-gap pattern).
+  *
+  * CTEs are expressed as named intermediate DataFrames — Catalyst
+  * inlines them into one plan, so "CTE chains" cost nothing extra.
+  */
+object Funnel {
+
+  /** q19: month cohorts — first-order month × activity month. Month
+    * buckets are formatted as strings on both engines so no timestamp
+    * dtype coupling exists in the compare.
+    */
+  val q19 = Q.of(
+    "q19_date_buckets",
+    """WITH firsts AS (
+      |  SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m') AS cohort
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT cohort, strftime(o_orderdate, '%Y-%m') AS ym,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT orders.o_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN firsts ON orders.o_custkey = firsts.o_custkey
+      |GROUP BY cohort, ym
+      |ORDER BY cohort, ym""".stripMargin) { t =>
+    val firsts = t.orders
+      .groupBy(col("o_custkey").as("f_custkey"))
+      .agg(date_format(min(col("o_orderdate")), "yyyy-MM").as("cohort"))
+    t.orders
+      .join(firsts, col("o_custkey") === col("f_custkey"))
+      .groupBy(col("cohort"), date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("cohort"), col("ym"))
+  }
+
+  /** q20: 4-stage event funnel (signup → view → click → purchase, each
+    * stage strictly after the previous) with conversion ratios — the
+    * reference's CTE-funnel shape as chained aggregates. Each stage is
+    * one groupBy on user_id; the final single-row result is assembled
+    * with broadcast cross joins of 1-row aggregates.
+    */
+  val q20 = Q.of(
+    "q20_funnel_cte",
+    """WITH su AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN su ON e.user_id = su.user_id
+      |      WHERE e.event_type = 'view' AND e.ts > su.t GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM su), 0) AS view_rate,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM v), 0) AS click_rate,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM c), 0) AS purchase_rate""".stripMargin) { t =>
+    val ev = t.events
+    def stage(prev: org.apache.spark.sql.DataFrame, tpe: String) =
+      ev.filter(col("event_type") === tpe).as("e")
+        .join(prev.as("s"), col("e.user_id") === col("s.user_id") && col("e.ts") > col("s.t"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val v = stage(su, "view")
+    val c = stage(v, "click")
+    val p = stage(c, "purchase")
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      broadcast(df.agg(count(lit(1)).as(name)))
+    cnt(su, "n_signup")
+      .crossJoin(cnt(v, "n_view"))
+      .crossJoin(cnt(c, "n_click"))
+      .crossJoin(cnt(p, "n_purchase"))
+      .withColumn("view_rate", col("n_view").cast("double") / nullif(col("n_signup"), lit(0L)))
+      .withColumn("click_rate", col("n_click").cast("double") / nullif(col("n_view"), lit(0L)))
+      .withColumn("purchase_rate", col("n_purchase").cast("double") / nullif(col("n_click"), lit(0L)))
+  }
+
+  /** q21: gap sessionization (30-min gap) via the Sessionize operator,
+    * rolled up to one row per session. The operator is one shuffle on
+    * user_id; the session rollup reuses the same partitioning, so
+    * Catalyst plans a single exchange.
+    */
+  val q21 = Q.of(
+    "q21_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), seqd AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM seqd
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { t =>
+    Sessionize.byGap(t.events, col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  def all: Seq[Q] = Seq(q19, q20, q21)
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.det._
+import graft.operators.SkewJoin
+
+/** Join-shape queries (SURVEY.md §2 q15–q18, q22, q26).
+  *
+  * Re-expresses: EXISTS / NOT EXISTS gap analysis
+  * (/root/reference/SQL/Content Catalog Gap Analysis.txt,
+  * Real-time Personalization Effectiveness.txt:28,152 → left_semi /
+  * left_anti, which never widen the probe side and need only the join
+  * key from the build side), GROUP_CONCAT (7× in the reference, e.g.
+  * /root/reference/SQL/Content Catalog Gap Analysis.txt:141 → sorted
+  * collect_set + array_join), and share-of-total ratios
+  * (/root/reference/SQL/Competitive Content Benchmarking.txt → cross
+  * join with a broadcast single-row total).
+  */
+object Joins {
+
+  /** q15: EXISTS → left_semi. The build side is reduced to the join
+    * key before the exchange; output carries only probe columns.
+    */
+  val q15 = Q.of(
+    "q15_semi_join",
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { t =>
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q16: NOT EXISTS → left_anti — customers who never placed an
+    * urgent order (ref: Content Catalog Gap Analysis "never watched"
+    * blocks). The build-side filter is pushed into the parquet scan
+    * before the anti join.
+    */
+  val q16 = Q.of(
+    "q16_anti_join",
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { t =>
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q17: UNION (distinct) of two key sets — high-balance customers ∪
+    * customers with a big order. Spark's union is bag semantics; the
+    * explicit distinct is the one shuffle.
+    */
+  val q17 = Q.of(
+    "q17_union_distinct",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |UNION
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY c_custkey""".stripMargin) { t =>
+    t.customer.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+      .union(t.orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q18: sorted group_concat — per nation, the ordered distinct set of
+    * market segments present. collect_set is bounded by segment
+    * cardinality (5), so the per-group state is tiny at any scale.
+    */
+  val q18 = Q.of(
+    "q18_group_concat",
+    """SELECT n_name,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+      |  COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { t =>
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q22: share-of-total via cross join against a broadcast single-row
+    * total — the grand total is one row, so the "cross join" is a
+    * broadcast nested loop over one row, not a cartesian blow-up.
+    */
+  val q22 = Q.of(
+    "q22_cross_join_ratio",
+    """WITH tot AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total FROM orders
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) / total AS share
+      |FROM orders, tot
+      |GROUP BY o_orderpriority, total
+      |ORDER BY o_orderpriority""".stripMargin) { t =>
+    val total = t.orders.agg(dsum(col("o_totalprice")).as("total"))
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .crossJoin(broadcast(total))
+      .select(col("o_orderpriority"), col("revenue"),
+        (col("revenue") / col("total")).as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q26: salted skew join (SkewJoin operator) — the salted plan must
+    * produce exactly the plain-join aggregate, which is what the DuckDB
+    * oracle checks. SURVEY §5: salting spreads a hot key over numSalts
+    * shuffle partitions; AQE skew-split is the complementary runtime
+    * mechanism.
+    */
+  val q26 = Q.of(
+    "q26_skew_salted_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { t =>
+    SkewJoin.salted(
+      t.lineitem, t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey",
+      saltSeed = Seq(col("l_orderkey"), col("l_linenumber")), numSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26)
+}
