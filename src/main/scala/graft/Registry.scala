@@ -7,7 +7,8 @@ object Registry {
       graft.queries.Windowed.all ++
       graft.queries.Grouping.all ++
       graft.queries.Joins.all ++
-      graft.queries.Funnel.all
+      graft.queries.Funnel.all ++
+      graft.queries.Text.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis queries over the documents table (SURVEY.md §2
+  * q30–q34) — the language-data half of the engine: token counting,
+  * quality scoring, language ID, fingerprinting, n-gram profiles.
+  *
+  * Everything is built from codegen'd `functions.*` column expressions
+  * (regexp_extract_all / transform / sequence / md5) — no UDFs, so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly in
+  * bytes scanned. Per-row cost is O(n_chars); there are no shuffles at
+  * all until the final ORDER BY (which exists only for the oracle
+  * compare — a production pipeline would write partition-local).
+  *
+  * Regex patterns are restricted to syntax with identical semantics in
+  * Java regex (Spark) and RE2 (DuckDB): ASCII classes, alternation,
+  * `\b`, `\S`. Counts are cast to long to match DuckDB's BIGINT len().
+  */
+object Text {
+
+  private val wsTok = "\\S+"
+  private val bpeTok = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val punct = "[^a-z0-9 ]"
+  private val enStops = "\\b(the|a|and|of|to|in|is)\\b"
+
+  private def nMatches(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  /** q30: token counting — whitespace tokens and a BPE-ish pre-token
+    * split (letter runs / digit runs / single punctuation), the shape a
+    * tokenizer-budget estimator uses before real BPE.
+    */
+  val q30 = Q.of(
+    "q30_token_count",
+    """SELECT doc_id, n_chars,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  CAST(n_chars AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { t =>
+    t.documents
+      .select(col("doc_id"), col("n_chars"),
+        nMatches(col("text"), wsTok).as("n_ws_tokens"),
+        nMatches(col("text"), bpeTok).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / nullif(col("n_ws_tokens"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q31: quality scoring — length, punctuation ratio, stopword ratio,
+    * combined into one bounded score (the pretraining-filter shape:
+    * keep docs above a score threshold).
+    */
+  val q31 = Q.of(
+    "q31_quality_score",
+    """SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+      |  round(least(1.0, n_chars/500.0)*0.5 + (1.0-punct_ratio)*0.3 + least(1.0, stop_ratio*5.0)*0.2, 4) AS quality
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+      |      / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS stop_ratio
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { t =>
+    t.documents
+      .select(col("doc_id"), col("n_chars"),
+        nMatches(col("text"), wsTok).as("n_tokens"),
+        (nMatches(col("text"), punct).cast("double") /
+          nullif(length(col("text")).cast("long"), lit(0L))).as("punct_ratio"),
+        (nMatches(col("text"), enStops).cast("double") /
+          nullif(nMatches(col("text"), wsTok), lit(0L))).as("stop_ratio"))
+      .withColumn("quality", round(
+        least(lit(1.0), col("n_chars") / 500.0) * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(lit(1.0), col("stop_ratio") * 5.0) * 0.2, 4))
+      .drop("n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q32: stopword-profile language ID over {en,de,es,fr} with a fixed
+    * tie-break order. The corpus is synthetic English-ish text, so the
+    * interesting check is determinism (oracle) + behavior on real
+    * multilingual samples (TextSpec crafts them in-memory).
+    */
+  val q32 = Q.of(
+    "q32_lang_id",
+    """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+      |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+      |       WHEN es_hits >= fr_hits THEN 'es'
+      |       ELSE 'fr' END AS predicted
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS en_hits,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein)\b')) AS de_hits,
+      |    len(regexp_extract_all(text, '\b(el|los|las|una|es|y|que)\b')) AS es_hits,
+      |    len(regexp_extract_all(text, '\b(le|les|des|et|est|une|dans)\b')) AS fr_hits
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { t =>
+    val scored = t.documents.select(col("doc_id"), col("lang"),
+      nMatches(col("text"), "\\b(the|a|and|of|to|in|is)\\b").as("en_hits"),
+      nMatches(col("text"), "\\b(der|die|das|und|ist|nicht|ein)\\b").as("de_hits"),
+      nMatches(col("text"), "\\b(el|los|las|una|es|y|que)\\b").as("es_hits"),
+      nMatches(col("text"), "\\b(le|les|des|et|est|une|dans)\\b").as("fr_hits"))
+    scored.withColumn("predicted",
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+        col("en_hits") >= col("fr_hits"), "en")
+        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+        .when(col("es_hits") >= col("fr_hits"), "es")
+        .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q33: rolling-hash document fingerprint — min-MD5 over strided
+    * 8-char shingles (a winnowing-style content fingerprint that
+    * survives small edits far from the minimum), plus the exact md5 of
+    * the full text for identity. Stride 8 keeps per-row cost at
+    * n_chars/8 hash evaluations.
+    */
+  val q33 = Q.of(
+    "q33_fingerprint",
+    """SELECT doc_id,
+      |  list_min(list_transform(generate_series(1, greatest(length(text)-7, 1), 8),
+      |                          i -> md5(substr(text, i, 8)))) AS shingle_fp,
+      |  md5(text) AS exact_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { t =>
+    t.documents
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text)-7, 1), 8)," +
+          " i -> md5(substr(text, i, 8))))").as("shingle_fp"),
+        md5(col("text")).as("exact_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q34: char-3-gram shingle profile — total vs distinct shingles and
+    * the repetition ratio (high repetition = low-quality boilerplate).
+    */
+  val q34 = Q.of(
+    "q34_ngram_profile",
+    """SELECT doc_id, n_shingles, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / NULLIF(n_shingles, 0) AS distinct_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(greatest(length(text)-2, 1) AS BIGINT) AS n_shingles,
+      |    CAST(len(list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1), 1),
+      |                                          i -> substr(text, i, 3)))) AS BIGINT) AS n_distinct
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin) { t =>
+    t.documents
+      .select(col("doc_id"),
+        greatest(length(col("text")) - 2, lit(1)).cast("long").as("n_shingles"),
+        expr("size(array_distinct(transform(sequence(1, greatest(length(text)-2, 1), 1)," +
+          " i -> substr(text, i, 3))))").cast("long").as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / nullif(col("n_shingles"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+}
