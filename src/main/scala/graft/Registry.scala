@@ -8,7 +8,9 @@ object Registry {
       graft.queries.Grouping.all ++
       graft.queries.Joins.all ++
       graft.queries.Funnel.all ++
-      graft.queries.Text.all
+      graft.queries.Text.all ++
+      graft.queries.Dedup.all ++
+      graft.queries.Ann.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Similarity, TopK}
+import graft.functions.vec
+
+/** Similarity-search queries over the embeddings table (SURVEY.md §2
+  * q50–q52).
+  *
+  * q50 is the exact baseline: broadcast the query set, stream the
+  * candidate table once, rank with a partitioned window (Spark 4 plans
+  * partial+final WindowGroupLimit, so each map task ships ≤ k rows per
+  * query into the shuffle). Cost is |queries| × n dot products — the
+  * correct exact plan at any scale when |queries| is small.
+  *
+  * q51 (LSH) and q52 (IVF) are the sub-linear scale paths: candidates
+  * come from shared hash buckets / probed cells only, then the same
+  * exact-rank tail runs on the reduced set. Both are approximate —
+  * AnnSpec measures recall vs q50 (the testdata embeddings are
+  * uniform-random, the hostile case for ANN; recall thresholds in the
+  * spec are calibrated to that).
+  */
+object Ann {
+
+  /** Embeddings with double vectors + precomputed norms. */
+  private def vectors(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", vec.norm(col("v")))
+
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  /** Exact cosine + top-k rank over a (query, candidate) frame. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("vec_id")), k, rankCol = "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** q50: brute-force cosine top-10 for every 50th vector as query.
+    * Oracle relies on dot products being a sequential fold on both
+    * engines (see graft.functions.vec) — double-exact, then rounded.
+    */
+  val q50 = Q.of(
+    "q50_ann_bruteforce",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0
+      |), s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |  FROM q JOIN e ON query_id <> e.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, neighbor_id, round(cos, 4) AS score, rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { t =>
+    val e = vectors(t)
+    val scored = e.crossJoin(broadcast(queriesOf(e)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    rankTopK(scored, 10)
+  }
+
+  /** q51: random-hyperplane LSH ANN — candidates share a bucket with
+    * the query in ≥1 of 8 tables (4 bits each), exact rank on the
+    * candidate set. Rows-only; recall vs q50 asserted in AnnSpec.
+    */
+  val q51 = Q.rowsOnly("q51_ann_lsh") { t =>
+    val bucketed = Similarity.explodeBuckets(
+      Similarity.withHyperplaneBuckets(vectors(t), "v", tables = 8, bitsPerTable = 4))
+    val qs = bucketed
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val candidates = qs.join(bucketed, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val scored = candidates
+      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    rankTopK(scored, 10)
+  }
+
+  /** q52: IVF — assign every vector to its nearest of 20 deterministic
+    * centroids, probe the 5 cells nearest each query, exact rank within
+    * the probed cells. Rows-only; recall vs q50 asserted in AnnSpec.
+    */
+  val q52 = Q.rowsOnly("q52_centroid_ivf") { t =>
+    val e = vectors(t)
+    val centroids = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = Similarity.assignToCentroids(e, centroids, "vec_id", "v", "cid", "cv")
+    // probe list: 5 nearest centroids per query
+    val probes = TopK.perGroup(
+      queriesOf(e).crossJoin(broadcast(centroids))
+        .withColumn("ccos", vec.dot(col("qv"), col("cv")) / (col("qn") * vec.norm(col("cv")))),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    rankTopK(scored, 10)
+  }
+
+  def all: Seq[Q] = Seq(q50, q51, q52)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Dedup => D, Similarity}
+import graft.functions.vec
+
+/** Deduplication queries over documents/embeddings (SURVEY.md §2
+  * q40–q44) — the training-corpus dedup tier the brief requires beyond
+  * the reference's own surface.
+  *
+  * q40 and q43 have exact DuckDB oracles (q43's oracle is the O(n²)
+  * jaccard ground truth — the LSH plan must reproduce it exactly, which
+  * it does because 16 bands × 2 rows keeps collision probability ≈ 1
+  * for jaccard ≥ 0.8). q41/q42/q44 are rows-only LSH candidate
+  * surfaces, spec-verified against planted near-dups / brute force in
+  * DedupSpec.
+  */
+object Dedup {
+
+  /** q40: exact dedup by content hash — per-source input vs survivor
+    * counts. One shuffle on md5(text).
+    */
+  val q40 = Q.of(
+    "q40_dedup_exact",
+    """WITH kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents
+      |  ) WHERE rn = 1
+      |), kc AS (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source),
+      |ic AS (SELECT source, COUNT(*) AS n_input, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |       FROM documents GROUP BY source)
+      |SELECT ic.source, n_input, n_kept, total_chars
+      |FROM ic JOIN kc ON ic.source = kc.source
+      |ORDER BY ic.source""".stripMargin) { t =>
+    val kept = D.exactByContent(t.documents, "text", "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_input"), sum(col("n_chars")).as("total_chars"))
+      .join(kept, "source")
+      .select(col("source"), col("n_input"), col("n_kept"), col("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q41: MinHash+LSH near-dup candidate pairs (est. jaccard from
+    * 32-hash signatures, 16 bands × 2 rows). Rows-only — DedupSpec
+    * checks the planted ≥0.8-jaccard pairs are all recovered.
+    */
+  val q41 = Q.rowsOnly("q41_dedup_minhash") { t =>
+    val sigs = D.withMinHash(D.withShingles(t.documents, "text", 5), 32)
+    D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= 0.5)
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q42: SimHash hamming-bucket near-dups (64-bit signature, 4×16-bit
+    * bands, Hamming ≤ 6). Rows-only — spec checks planted pairs.
+    */
+  val q42 = Q.rowsOnly("q42_dedup_simhash") { t =>
+    D.simHashCandidates(D.withSimHash(t.documents, "text"), "doc_id", maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q43: exact n-gram Jaccard verify over LSH candidates. The oracle
+    * is the brute-force ground truth — the bucketed plan must find
+    * every pair with jaccard ≥ 0.8 (LSH miss probability ≤ 1e-7 per
+    * pair at that threshold) while joining only within buckets.
+    */
+  val q43 = Q.of(
+    "q43_dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1), 1),
+      |                                 i -> substr(text, i, 5))) AS s
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { t =>
+    val shingled = D.withShingles(t.documents, "text", 5)
+    val sigs = D.withMinHash(shingled, 32)
+    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2)
+    D.jaccardVerify(candidates.select(col("doc_a"), col("doc_b")), shingled, "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q44: embedding-cosine near-dup pairs via hyperplane LSH buckets
+    * (8 tables × 4 bits) with exact cosine verify ≥ 0.4. Rows-only —
+    * approximate by design; DedupSpec measures recall vs brute force.
+    */
+  val q44 = Q.rowsOnly("q44_dedup_embedding") { t =>
+    val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+    Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 8, bitsPerTable = 4, minCosine = 0.4)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def all: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+}
