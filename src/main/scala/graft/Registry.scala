@@ -10,7 +10,9 @@ object Registry {
       graft.queries.Funnel.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
-      graft.queries.Ann.all
+      graft.queries.Ann.all ++
+      graft.queries.Multimodal.all ++
+      graft.queries.Streaming.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -94,12 +94,14 @@ object Dedup {
   }
 
   /** q44: embedding-cosine near-dup pairs via hyperplane LSH buckets
-    * (8 tables × 4 bits) with exact cosine verify ≥ 0.4. Rows-only —
-    * approximate by design; DedupSpec measures recall vs brute force.
+    * (16 tables × 4 bits — at cos 0.4 the per-table collision prob is
+    * ~0.16, so 16 tables give ~0.94 expected recall) with exact cosine
+    * verify ≥ 0.4. Rows-only — approximate by design; DedupSpec
+    * measures recall vs brute force.
     */
   val q44 = Q.rowsOnly("q44_dedup_embedding") { t =>
     val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
-    Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 8, bitsPerTable = 4, minCosine = 0.4)
+    Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 16, bitsPerTable = 4, minCosine = 0.4)
       .withColumn("cos", round(col("cos"), 4))
       .orderBy(col("vec_a"), col("vec_b"))
   }

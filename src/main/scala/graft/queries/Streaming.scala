@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.streaming.{EventStreams, GraftEvent}
+
+/** Streaming-surface queries (SURVEY.md §2 q70–q71). Both run the
+  * SAME operators that the streaming deployment uses
+  * ([[graft.streaming.EventStreams]]), executed in batch mode here so
+  * the driver's oracle/rows gates can check them; StreamingSpec runs
+  * the actual readStream → memory-sink path and asserts equivalence.
+  */
+object Streaming {
+
+  /** q70: tumbling 1-hour window aggregate — batch execution of the
+    * watermarked streaming aggregate (the watermark node is eliminated
+    * by Catalyst for batch inputs, leaving the identical groupBy).
+    */
+  val q70 = Q.of(
+    "q70_stream_window_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin) { t =>
+    EventStreams.hourlyCounts(t.events)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** q71: stateful gap sessionization (flatMapGroupsWithState) in
+    * batch mode. Rows-only; StreamingSpec asserts it matches the
+    * window-based q21 exactly.
+    */
+  val q71 = Q.rowsOnly("q71_stream_session") { t =>
+    import EventStreams._
+    val events = t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[GraftEvent](eventEnc)
+    EventStreams.sessionize(events, gapUs = 1800L * 1000000L)
+      .toDF()
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.vec
+
+/** Recall/containment checks for the approximate dedup surfaces
+  * (q41/q42/q44) against exact ground truth computed in-spec.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Exact jaccard ≥ 0.8 ground-truth pairs — q43 is oracle-checked
+    * against DuckDB brute force, so it serves as truth here.
+    */
+  private lazy val truePairs: Set[(Long, Long)] =
+    run("q43_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ground truth sanity: planted near-dup pairs exist") {
+    assert(truePairs.size >= 10, s"expected planted pairs, got ${truePairs.size}")
+  }
+
+  test("q41 MinHash LSH recovers every jaccard>=0.8 pair") {
+    val got = run("q41_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- got
+    assert(missed.isEmpty, s"LSH missed planted pairs: $missed")
+  }
+
+  test("q42 SimHash recall >= 0.8 on jaccard>=0.8 pairs (coarser than MinHash)") {
+    // SimHash hashes the token *set*; a 0.98-char-jaccard pair that
+    // differs in a few tokens can exceed hamming 6, so unlike MinHash
+    // (which is exact-recall at this threshold) the bound is recall.
+    val got = run("q42_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(got).toDouble / truePairs.size
+    info(f"q42 recall = $recall%.3f")
+    assert(recall >= 0.8, s"SimHash recall $recall below 0.8")
+  }
+
+  test("q44 embedding LSH recall >= 0.7 vs brute-force cosine pairs") {
+    val e = tables.embeddings
+      .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val exact = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos", vec.dot(col("va"), col("vb")) /
+        (vec.norm(col("va")) * vec.norm(col("vb"))))
+      .filter(col("cos") >= 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("q44_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "q44 produced a pair below the cosine threshold")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.7, s"q44 recall $recall < 0.7 (${got.size}/${exact.size})")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all specs (one JVM, getOrCreate
+  * dedupes across suites). Small shuffle-partition count keeps tiny
+  * test shuffles fast; the 100-TB-shaped configs (AQE etc.) match
+  * GraftSession so plan assertions test the real config.
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  def tables: Tables = Tables(spark, sfDir)
+
+  def run(name: String): DataFrame = Registry.byName(name).run(spark, sfDir)
+
+  /** Formatted physical plan text, for plan-shape assertions. */
+  def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  override def afterAll(): Unit = {
+    // keep the session alive for other suites in the same JVM
+    super.afterAll()
+  }
+}

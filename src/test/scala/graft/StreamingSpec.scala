@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{EventStreams, GraftEvent}
+
+/** Streaming-path equivalence: the actual readStream → memory-sink
+  * pipeline must produce the batch answer, and the stateful
+  * sessionizer must agree with the declarative window-based q21.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("q70: streaming hourlyCounts over file source equals batch result") {
+    // events.parquet carries TIMESTAMP(NANOS): with nanosAsLong the
+    // batch schema types ts as long; stream with that schema and apply
+    // the same micros conversion Tables.events uses.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource needs a directory; glob-filter to the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("q70mem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("q70mem")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = run("q70_stream_window_agg").collect().toSeq
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
+  test("q71 stateful sessionization equals window-based q21") {
+    val q71 = run("q71_stream_session")
+      .select(col("user_id"), col("session_seq"), col("n_events"), col("duration_us"))
+      .orderBy("user_id", "session_seq").collect().toSeq
+    val q21 = run("q21_sessionize")
+      .select(col("user_id"), col("session_seq"), col("n_events"), col("duration_us"))
+      .orderBy("user_id", "session_seq").collect().toSeq
+    assert(q71.size == q21.size, s"session counts differ: ${q71.size} vs ${q21.size}")
+    assert(q71 == q21)
+  }
+
+  test("sessionize emits per-session rows with correct gap semantics") {
+    import EventStreams._
+    import spark.implicits._
+    val evs = Seq(
+      GraftEvent(1L, 1L, 0L),
+      GraftEvent(1L, 2L, 1000000L),          // 1s later  -> same session
+      GraftEvent(1L, 3L, 4000000000L),       // >30min    -> new session
+      GraftEvent(2L, 4L, 0L))
+    val out = EventStreams.sessionize(evs.toDS(), gapUs = 1800L * 1000000L)
+      .collect().map(s => (s.user_id, s.session_seq, s.n_events)).toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
