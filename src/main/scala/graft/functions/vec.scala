@@ -26,8 +26,20 @@ object vec {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; callers should pre-compute norms when scanning
-    * a table repeatedly (q50 does).
+  /** Cosine similarity via the higher-order-function fold — reference
+    * implementation; use [[cosim]] in any hot path.
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — one fused
+    * primitive loop, no boxing. Bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))` (same sequential accumulation
+    * order), so oracle-checked queries can use it freely.
+    */
+  def cosim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftx.Bridge.expression(a),
+        org.apache.spark.sql.graftx.Bridge.expression(b)))
 }

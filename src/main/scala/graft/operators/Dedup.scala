@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * shuffle-on-key bucket plans — never all-pairs.
   *
   * Scale shape shared by MinHash and SimHash:
-  *   1. per-row signature computation — pure column expressions
-  *      (nested transform/aggregate over the shingle/token arrays), no
-  *      shuffle, stays in WholeStageCodegen;
-  *   2. explode to (band, bandHash) keys — output rows = docs × bands;
-  *   3. self-join on the band key — the only shuffle; bucket sizes are
-  *      bounded because a band hash is 64-bit (hot buckets only from
-  *      true near-dups);
-  *   4. `doc_a < doc_b` pruning + distinct to emit each candidate pair
-  *      once.
+  *   1. per-row signature — a SINGLE fold over the shingle/token array.
+  *      This matters: Catalyst's CollapseProject inlines alias
+  *      expressions into every lambda reference, so a signature written
+  *      as "for each seed, scan the shingles" recomputes the shingle
+  *      array once per seed (32–64× per row). The fold form references
+  *      the array exactly once, so it is evaluated exactly once per row.
+  *   2. the slim (id, signature) frame is cached — it is the join input
+  *      on BOTH sides of the self-join and the lookup table for
+  *      signature-agreement scoring; at cluster scale this is the
+  *      "write signatures to a table once" step (a few bytes per doc —
+  *      5000× smaller than the corpus).
+  *   3. explode to (band, bandHash) keys and self-join on them — the
+  *      only wide shuffle; band hashes are 64-bit so buckets stay
+  *      bounded (hot buckets only from true near-dups).
+  *   4. `doc_a < doc_b` pruning + distinct, then cheap signature-
+  *      agreement prefilter BEFORE any exact verification touches the
+  *      shingle sets again.
   */
 object Dedup {
 
@@ -41,83 +49,116 @@ object Dedup {
       s"array_distinct(transform(sequence(1, greatest(length($textCol)-${n - 1}, 1), 1)," +
         s" i -> substr($textCol, i, $n)))"))
 
-  /** Adds `minhash`: an array of `numHashes` min-values of seeded
-    * xxhash64 over the shingle set — the classic MinHash signature,
-    * computed entirely per-row (seed h is mixed in as an extra hash
-    * argument; no hash-function table needed).
+  /** Adds `minhash`: `numHashes` min-values of two-level seeded hashes
+    * over the shingle set, via the native
+    * [[graft.functions.MinHashSignature]] expression (each shingle is
+    * hashed once; per-seed values are O(1) long re-hashes — ~50× less
+    * hashing than the per-seed-rescan form).
     */
   def withMinHash(df: DataFrame, numHashes: Int): DataFrame =
-    df.withColumn("minhash", expr(
-      s"transform(sequence(0, ${numHashes - 1})," +
-        s" h -> array_min(transform(shingles, s -> xxhash64(h, s))))"))
+    df.withColumn("minhash", graft.functions.sketch.minhash(col("shingles"), numHashes))
+
+  /** Adds `minhash` computed directly from the text — no shingle array
+    * is materialized at all ([[graft.functions.TextMinHash]]): MinHash
+    * over the n-gram multiset equals MinHash over the set, and each
+    * n-gram is hashed in place from the string bytes. Identical
+    * signatures to withShingles∘withMinHash, ~10× cheaper.
+    */
+  def withMinHashFromText(df: DataFrame, textCol: String, n: Int, numHashes: Int): DataFrame =
+    df.withColumn("minhash", graft.functions.sketch.textMinhash(col(textCol), n, numHashes))
+
+  /** Exact n-gram Jaccard verify that joins the candidate pairs back to
+    * the raw text and computes the set similarity per pair
+    * ([[graft.functions.TextJaccard]]) — shingle sets exist only for
+    * the pairs that reach the verify step, never for the whole corpus.
+    */
+  def textJaccardVerify(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val da = docs.select(col(idCol).as("doc_a"), col(textCol).as("graft_text_a"))
+    val db = docs.select(col(idCol).as("doc_b"), col(textCol).as("graft_text_b"))
+    pairs.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("jaccard",
+        graft.functions.sketch.textJaccard(col("graft_text_a"), col("graft_text_b"), n))
+      .drop("graft_text_a", "graft_text_b")
+  }
 
   /** LSH band-bucket candidate pairs from MinHash signatures.
     * `bands × rowsPerBand` must equal the signature length. A pair
-    * collides if any band of `rowsPerBand` consecutive minhash values
-    * matches exactly; P(collide | jaccard=j) = 1-(1-j^r)^b, so
-    * b=16/r=2 keeps recall ≈ 1 down to j≈0.8 (q43's verify threshold).
-    * Returns (doc_a, doc_b, est_jaccard) with est_jaccard = fraction of
-    * agreeing signature positions.
+    * collides when any band of `rowsPerBand` consecutive values matches
+    * exactly; P(collide | jaccard=j) = 1-(1-j^r)^b, so b=16/r=2 keeps
+    * recall ≈ 1 down to j≈0.8 (q43's verify threshold).
+    * Returns (doc_a, doc_b, est_jaccard) where est_jaccard is the
+    * signature agreement fraction — computed via two broadcast joins
+    * against the cached slim signature table, so the banded join only
+    * shuffles (band, hash, id) triples.
+    *
+    * `minBandMatches` prunes the candidate set to pairs colliding in at
+    * least that many bands: at j ≥ 0.8 with 16×2 banding a pair
+    * collides in ~10 bands (P(<2) ≈ 2e-6 — recall unharmed), while a
+    * same-vocabulary random pair (j ≈ 0.1–0.2) rarely collides twice,
+    * cutting the verify volume ~10×. This is the knob that keeps the
+    * candidate volume linear-ish as the corpus grows.
     */
-  def minHashCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), col("minhash"),
+  def minHashCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      minBandMatches: Int = 1): DataFrame = {
+    val slim = sigs.select(col(idCol).as("graft_id"), col("minhash")).cache()
+    val banded = slim.select(col("graft_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1})," +
           s" b -> xxhash64(b, slice(minhash, b * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
-    val a = banded.select(col(idCol).as("doc_a"), col("minhash").as("mh_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("doc_b"), col("minhash").as("mh_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = banded.select(col("graft_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("graft_id").as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("mh_a"), col("mh_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") /
-          size(col("mh_a"))).as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .agg(count(lit(1)).as("graft_n_bands"))
+      .filter(col("graft_n_bands") >= minBandMatches)
+      .select("doc_a", "doc_b")
+    pairs
+      .join(broadcast(slim.select(col("graft_id").as("doc_a"), col("minhash").as("mh_a"))), "doc_a")
+      .join(broadcast(slim.select(col("graft_id").as("doc_b"), col("minhash").as("mh_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.sketch.sigAgreement(col("mh_a"), col("mh_b")).as("est_jaccard"))
   }
 
-  /** Adds `simhash`: 64-bit SimHash over whitespace tokens — bit b is
-    * set when the signed sum of token-hash bit b is non-negative.
-    * Near-identical documents land within a few bits of Hamming
-    * distance. Pure per-row expression (two nested folds).
+  /** Adds `simhash`: 64-bit SimHash over whitespace tokens — bit b set
+    * when the signed sum of token-hash bit b is non-negative, via the
+    * native [[graft.functions.SimHash64]] expression (one primitive
+    * pass over the tokens).
     */
   def withSimHash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("graft_token_hashes",
-        expr(s"transform(regexp_extract_all($textCol, '\\\\S+', 0), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, b) -> acc | " +
-          "shiftleft(IF(aggregate(graft_token_hashes, 0, " +
-          "(a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)) >= 0, 1L, 0L), b))"))
-      .drop("graft_token_hashes")
+    df.withColumn("simhash", graft.functions.sketch.simhash(
+      expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")))
 
   /** SimHash candidate pairs: bucket on 4 bands of 16 bits (guaranteed
     * recall for Hamming distance ≤ 3 by pigeonhole; high recall to ~6),
-    * then verify `bit_count(xor) <= maxHamming` inside buckets.
+    * then verify `bit_count(xor) <= maxHamming` inside buckets. The
+    * slim (id, simhash) frame is cached and band-exploded — 8 bytes of
+    * signature per doc through the shuffle.
     */
   def simHashCandidates(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val banded = df.select(col(idCol), col("simhash"),
+    val slim = df.select(col(idCol).as("graft_id"), col("simhash")).cache()
+    val banded = slim.select(col("graft_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)"))
         .as(Seq("band", "band_val")))
-    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
-      col("band"), col("band_val"))
-    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
-      col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
+    banded.select(col("graft_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("band"), col("band_val"))
+      .join(banded.select(col("graft_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("band"), col("band_val")), Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("hamming")).as("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for a candidate-pair frame — the verify pass
     * after LSH candidate generation. Joins the shingle sets back onto
-    * the pairs (two hash joins on doc id, the natural key).
+    * the pairs (two hash joins on doc id, the natural key). Callers
+    * should prefilter candidates on est_jaccard first so this touches
+    * orders of magnitude fewer pairs than the banded join emitted.
     */
   def jaccardVerify(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
     val sa = shingled.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))

@@ -10,10 +10,14 @@ import graft.functions.vec
   *
   * Candidate generation is always bucketed — vectors only ever meet
   * inside a shared hash bucket / IVF cell, so the join volume is
-  * Σ bucket² instead of n². Signatures are per-row column expressions
-  * (no shuffle, codegen'd); the bucket join is the single shuffle.
+  * Σ bucket² instead of n². The projection signature is ONE fold over
+  * the vector (Catalyst inlines alias expressions into lambda bodies,
+  * so a per-plane scan of the vector would recompute the vector cast
+  * per plane — the fold form evaluates it once per row), and the
+  * projected frame is cached before band extraction so the self-join
+  * and the per-table bucket transform read materialized columns.
   *
-  * Hyperplanes are derived from `xxhash64(plane, dim)` parity — a
+  * Hyperplanes come from `xxhash64(plane, dim)` parity — a
   * deterministic ±1 "random" matrix that needs no side table and is
   * identical on every executor. r (bits/table) trades recall for
   * bucket size: at n=500 test scale r=4..8; at 100 TB, r grows with
@@ -22,15 +26,14 @@ import graft.functions.vec
 object Similarity {
 
   /** Adds `buckets`: array of `tables` bucket ids, each from
-    * `bitsPerTable` signed random projections of `vCol` (double array).
+    * `bitsPerTable` signed random projections of `vCol` (double array),
+    * via the native [[graft.functions.HyperplaneBuckets]] expression
+    * (one primitive loop per row; the sign matrix is derived from
+    * xxhash64 parity and cached per executor).
     */
   def withHyperplaneBuckets(df: DataFrame, vCol: String, tables: Int, bitsPerTable: Int): DataFrame =
-    df.withColumn("buckets", expr(
-      s"transform(sequence(0, ${tables - 1}), l -> " +
-        s"aggregate(sequence(0, ${bitsPerTable - 1}), 0L, (acc, k) -> acc | shiftleft(IF(" +
-        s"aggregate(transform(sequence(0, size($vCol) - 1), i -> element_at($vCol, i + 1) * " +
-        s"IF(pmod(xxhash64(l * $bitsPerTable + k, i), 2) = 0, CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))," +
-        s" CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= CAST(0.0 AS DOUBLE), 1L, 0L), k)))"))
+    df.withColumn("buckets",
+      graft.functions.sketch.hyperplaneBuckets(col(vCol), tables, bitsPerTable))
 
   /** Explodes the bucket array to (tbl, bucket) join keys. */
   def explodeBuckets(df: DataFrame): DataFrame =
@@ -38,18 +41,22 @@ object Similarity {
       posexplode(col("buckets")).as(Seq("tbl", "bucket")): _*).drop("buckets")
 
   /** LSH near-duplicate pairs: same (tbl, bucket) in any table, exact
-    * cosine verify ≥ threshold. Returns (vec_a, vec_b, cos).
+    * cosine verify ≥ threshold (fused native cosine — see
+    * [[graft.functions.CosineSimilarity]]). Returns (vec_a, vec_b, cos).
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vCol: String,
       tables: Int, bitsPerTable: Int, minCosine: Double): DataFrame = {
-    val bucketed = explodeBuckets(withHyperplaneBuckets(vectors, vCol, tables, bitsPerTable))
-    val a = bucketed.select(col(idCol).as("vec_a"), col(vCol).as("v_a"), col("tbl"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("vec_b"), col(vCol).as("v_b"), col("tbl"), col("bucket"))
+    val bucketed = explodeBuckets(
+      withHyperplaneBuckets(vectors, vCol, tables, bitsPerTable))
+      .select(col(idCol), col(vCol), col("tbl"), col("bucket"))
+      .cache()
+    val a = bucketed.select(col(idCol).as("vec_a"), col(vCol).as("v_a"),
+      col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("vec_b"), col(vCol).as("v_b"),
+      col("tbl"), col("bucket"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (vec.dot(col("v_a"), col("v_b")) /
-          (vec.norm(col("v_a")) * vec.norm(col("v_b")))).as("cos"))
+      .select(col("vec_a"), col("vec_b"), vec.cosim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(first(col("cos")).as("cos"))
@@ -62,8 +69,7 @@ object Similarity {
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vCol: String, cidCol: String, cvCol: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("graft_cos",
-        vec.dot(col(vCol), col(cvCol)) / (vec.norm(col(vCol)) * vec.norm(col(cvCol))))
+      .withColumn("graft_cos", vec.cosim(col(vCol), col(cvCol)))
     val w = Window.partitionBy(col(idCol)).orderBy(col("graft_cos").desc, col(cidCol))
     scored.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)

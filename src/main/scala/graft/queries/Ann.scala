@@ -24,15 +24,20 @@ import graft.functions.vec
   */
 object Ann {
 
-  /** Embeddings with double vectors + precomputed norms. */
+  /** Embeddings with double vectors, cached: every downstream
+    * reference (queries side, candidates side, IVF assignment) reads
+    * the materialized column instead of re-running the float→double
+    * cast per reference (Catalyst would otherwise inline it into each
+    * use site).
+    */
   private def vectors(t: Tables): DataFrame =
     t.embeddings
       .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
-      .withColumn("nrm", vec.norm(col("v")))
+      .cache()
 
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** Exact cosine + top-k rank over a (query, candidate) frame. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
@@ -67,7 +72,7 @@ object Ann {
     val e = vectors(t)
     val scored = e.crossJoin(broadcast(queriesOf(e)))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", vec.cosim(col("qv"), col("v")))
     rankTopK(scored, 10)
   }
 
@@ -80,16 +85,14 @@ object Ann {
       Similarity.withHyperplaneBuckets(vectors(t), "v", tables = 8, bitsPerTable = 4))
     val qs = bucketed
       .filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("tbl"), col("bucket"))
     val candidates = qs.join(bucketed, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
     val scored = candidates
-      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", vec.cosim(col("qv"), col("v")))
     rankTopK(scored, 10)
   }
 
@@ -105,12 +108,12 @@ object Ann {
     // probe list: 5 nearest centroids per query
     val probes = TopK.perGroup(
       queriesOf(e).crossJoin(broadcast(centroids))
-        .withColumn("ccos", vec.dot(col("qv"), col("cv")) / (col("qn") * vec.norm(col("cv")))),
+        .withColumn("ccos", vec.cosim(col("qv"), col("cv"))),
       Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
-      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell"))
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", vec.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", vec.cosim(col("qv"), col("v")))
     rankTopK(scored, 10)
   }
 

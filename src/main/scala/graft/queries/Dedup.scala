@@ -49,8 +49,8 @@ object Dedup {
     * checks the planted ≥0.8-jaccard pairs are all recovered.
     */
   val q41 = Q.rowsOnly("q41_dedup_minhash") { t =>
-    val sigs = D.withMinHash(D.withShingles(t.documents, "text", 5), 32)
-    D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2)
+    val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 32)
+    D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2, minBandMatches = 4)
       .filter(col("est_jaccard") >= 0.5)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -84,10 +84,15 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { t =>
-    val shingled = D.withShingles(t.documents, "text", 5)
-    val sigs = D.withMinHash(shingled, 32)
-    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2)
-    D.jaccardVerify(candidates.select(col("doc_a"), col("doc_b")), shingled, "doc_id")
+    val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 32)
+    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2,
+      minBandMatches = 4)
+      // signature-agreement prefilter: a j>=0.8 pair has est ~ Bin(32,j)/32,
+      // P(est < 0.55) < 1e-3 — kills the random-collision candidates before
+      // the expensive exact set intersection
+      .filter(col("est_jaccard") >= 0.55)
+    D.textJaccardVerify(candidates.select(col("doc_a"), col("doc_b")),
+      t.documents, "doc_id", "text", n = 5)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

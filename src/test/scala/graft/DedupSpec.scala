@@ -43,8 +43,7 @@ class DedupSpec extends SparkSpec {
     val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
     val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
     val exact = a.crossJoin(b).filter(col("ia") < col("ib"))
-      .withColumn("cos", vec.dot(col("va"), col("vb")) /
-        (vec.norm(col("va")) * vec.norm(col("vb"))))
+      .withColumn("cos", vec.cosim(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = run("q44_dedup_embedding").collect()
