@@ -45,12 +45,16 @@ object Dedup {
   }
 
   /** q41: MinHash+LSH near-dup candidate pairs (est. jaccard from
-    * 32-hash signatures, 16 bands × 2 rows). Rows-only — DedupSpec
-    * checks the planted ≥0.8-jaccard pairs are all recovered.
+    * 32-hash signatures, 8 bands × 4 rows — the candidate surface can
+    * afford r=4, which collapses the random-collision volume on this
+    * high-baseline-similarity corpus ~100× while keeping recall ≈ 1
+    * for the j ≥ 0.9 planted pairs; q43, whose oracle demands exact
+    * recall down to j = 0.8, uses the safer 16×2 banding). Rows-only —
+    * DedupSpec checks the planted ≥0.8-jaccard pairs are all recovered.
     */
   val q41 = Q.rowsOnly("q41_dedup_minhash") { t =>
     val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 32)
-    D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2, minBandMatches = 4)
+    D.minHashCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.5)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))

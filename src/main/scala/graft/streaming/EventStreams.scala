@@ -16,6 +16,12 @@ final case class GraftSession(user_id: Long, session_seq: Long, n_events: Long,
 /** Open-session accumulator carried in GroupState between triggers. */
 final case class SessState(seq: Long, n: Long, start_us: Long, last_us: Long)
 
+/** Streaming event with both the raw timestamp (carries the watermark)
+  * and epoch micros (session arithmetic).
+  */
+final case class GraftEventW(user_id: Long, event_id: Long, ts_us: Long,
+    ts: java.sql.Timestamp)
+
 /** Structured Streaming surface (SURVEY.md §2 q70–q71, §4).
   *
   * `hourlyCounts` is the watermarked tumbling-window aggregate — in
@@ -54,6 +60,26 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  implicit val eventWEnc: Encoder[GraftEventW] = Encoders.product[GraftEventW]
+
+  /** Walks a time-sorted slice of one user's events, closing sessions
+    * whose gap exceeds `gapUs`. Returns (closed sessions, open tail).
+    */
+  private def advanceSessions(userId: Long, sorted: Seq[(Long, Long)], prev: Option[SessState],
+      gapUs: Long): (Vector[GraftSession], Option[SessState]) = {
+    val out = Vector.newBuilder[GraftSession]
+    var st = prev.orNull
+    for ((tsUs, _) <- sorted) {
+      if (st == null) st = SessState(1L, 1L, tsUs, tsUs)
+      else if (tsUs - st.last_us > gapUs) {
+        out += GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
+          st.last_us - st.start_us)
+        st = SessState(st.seq + 1, 1L, tsUs, tsUs)
+      } else st = st.copy(n = st.n + 1, last_us = tsUs)
+    }
+    (out.result(), Option(st))
+  }
+
   /** Gap sessionization via flatMapGroupsWithState. Emits every closed
     * session; in batch mode all sessions close at end-of-group.
     */
@@ -63,24 +89,49 @@ object EventStreams {
       .flatMapGroupsWithState[SessState, GraftSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[GraftEvent], state: GroupState[SessState]) =>
-          val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          val out = Vector.newBuilder[GraftSession]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            if (st == null) st = SessState(1L, 1L, e.ts_us, e.ts_us)
-            else if (e.ts_us - st.last_us > gapUs) {
-              out += GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
-                st.last_us - st.start_us)
-              st = SessState(st.seq + 1, 1L, e.ts_us, e.ts_us)
-            } else st = st.copy(n = st.n + 1, last_us = e.ts_us)
-          }
-          if (st != null) {
-            // batch mode: the group is complete, close the open session.
-            // (streaming mode would keep it in state until timeout)
-            out += GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
-              st.last_us - st.start_us)
-            state.remove()
-          }
-          out.result().iterator
+          val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id)).map(e => (e.ts_us, e.event_id))
+          val (closed, open) = advanceSessions(userId, sorted, state.getOption, gapUs)
+          state.remove()
+          // batch mode: the group is complete — close the open tail too
+          val tail = open.map(st =>
+            GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
+              st.last_us - st.start_us))
+          (closed ++ tail).iterator
       }
+
+  /** STREAMING gap sessionization with event-time timeout: sessions
+    * closed by an in-batch gap emit immediately; the open tail stays in
+    * GroupState with a timeout at (last event + gap), so it emits when
+    * the watermark passes that instant — the correct unbounded-stream
+    * semantics (state per user is O(1); expiry is watermark-driven).
+    * Input needs (user_id, event_id, ts) with ts a watermarkable event
+    * time.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "2 hours"): Dataset[GraftSession] = {
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[GraftEventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, GraftSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[GraftEventW], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
+              st.last_us - st.start_us))
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id)).map(e => (e.ts_us, e.event_id))
+            val (closed, open) = advanceSessions(userId, sorted, state.getOption, gapUs)
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last_us / 1000L + gapSeconds * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

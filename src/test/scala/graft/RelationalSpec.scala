@@ -49,6 +49,30 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "UDF in hot path")
   }
 
+  test("q15/q16: EXISTS/NOT EXISTS plan as semi/anti hash joins") {
+    val p15 = planOf(run("q15_semi_join"))
+    assert(p15.contains("LeftSemi"), s"no semi join in plan:\n$p15")
+    val p16 = planOf(run("q16_anti_join"))
+    assert(p16.contains("LeftAnti"), s"no anti join in plan:\n$p16")
+  }
+
+  test("q21: sessionize window + session rollup share one exchange on user_id") {
+    // window partitioned by user_id; groupBy(user_id, session_seq) is
+    // satisfied by the same hash partitioning, so only ONE shuffle
+    // (plus the final orderBy's range exchange) should exist
+    val p = planOf(run("q21_sessionize"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, // initial + final formatted-plan double print
+      s"expected 1 hash exchange (printed <=2x), got $hashExchanges:\n$p")
+  }
+
+  test("q50: query set is broadcast, candidates never shuffle before top-k") {
+    val p = planOf(run("q50_ann_bruteforce"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k missing WindowGroupLimit")
+  }
+
   test("every registered query returns rows on sf0.001") {
     for (q <- Registry.all) {
       val n = q.run(spark, sfDir).count()

@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     assert(q71 == q21)
   }
 
+  test("streaming sessionize (event-time timeout) emits every closed session") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.sessionizeStream(stream, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("q71stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("q71stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRows = run("q71_stream_session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lastSeq = batchRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closedInBatch = batchRows.filter { case (u, seq, _) => seq < lastSeq(u) }.toSet
+    // one AvailableNow batch: every gap-closed session emits inline;
+    // each user's open tail stays in state awaiting its event-time
+    // timeout (a later batch), so it may or may not have emitted
+    assert(closedInBatch.subsetOf(emitted),
+      s"streaming path missed closed sessions: ${(closedInBatch -- emitted).take(5)}")
+    assert(emitted.subsetOf(batchRows.toSet),
+      s"streaming path emitted sessions batch never produced: ${(emitted -- batchRows.toSet).take(5)}")
+  }
+
   test("sessionize emits per-session rows with correct gap semantics") {
     import EventStreams._
     import spark.implicits._
