@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
   }
 
+  test("q70 append mode emits exactly the watermark-closed windows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("q70append")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("q70append").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = run("q70_stream_window_agg")
+    val maxTs = tables.events.agg(max(col("ts"))).head().getTimestamp(0)
+    val all = batch.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // windows whose END is at or before (maxTs - 2h watermark) are closed;
+    // the final no-data microbatch advances the watermark and flushes them
+    val cutoffMs = maxTs.getTime - 2L * 3600 * 1000
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val closed = all.filter { case (hour, _) =>
+      fmt.parse(hour).getTime + 3600 * 1000 <= cutoffMs
+    }
+    assert(emitted.subsetOf(all), "append emitted a window batch never produced")
+    assert(closed.subsetOf(emitted),
+      s"watermark-closed windows missing from append output: ${(closed -- emitted).take(5)}")
+  }
+
   test("q71 stateful sessionization equals window-based q21") {
     val q71 = run("q71_stream_session")
       .select(col("user_id"), col("session_seq"), col("n_events"), col("duration_us"))
