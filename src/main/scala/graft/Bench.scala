@@ -27,6 +27,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
+    // Caches built by one query (slim signature/vector frames) must not
+    // linger into the next: accumulated caches evict under pressure and
+    // spew CacheManager warnings (VERDICT r2 #5), and a query timed with
+    // a predecessor's cache resident isn't measuring its own plan.
+    spark.catalog.clearCache()
+
     val results = Registry.all.map { q =>
       spark.sparkContext.setJobDescription(q.name)
       val t0 = System.nanoTime()
@@ -36,6 +42,7 @@ object Bench {
         Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(200))}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
       (q.name, if (err.isEmpty) sec else -1.0, err)
     }
 

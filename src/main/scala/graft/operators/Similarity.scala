@@ -1,21 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.vec
+import graft.functions.{vec, NearestCentroid}
 
 /** Approximate-similarity operators over embedding columns
   * (SURVEY.md §2 q44, q51, q52; §5 scale rules).
   *
   * Candidate generation is always bucketed — vectors only ever meet
   * inside a shared hash bucket / IVF cell, so the join volume is
-  * Σ bucket² instead of n². The projection signature is ONE fold over
-  * the vector (Catalyst inlines alias expressions into lambda bodies,
-  * so a per-plane scan of the vector would recompute the vector cast
-  * per plane — the fold form evaluates it once per row), and the
-  * projected frame is cached before band extraction so the self-join
-  * and the per-table bucket transform read materialized columns.
+  * Σ bucket² instead of n². And the bucket shuffles themselves are
+  * id-only: the banded self-join ships (tbl, bucket, id) triples, the
+  * pair set is distinct'd on ids, and full vectors are joined back
+  * exactly once per surviving pair for a single exact verify — the
+  * same slim-signature shape as [[Dedup.minHashCandidates]]. At 100 TB
+  * of embeddings this is the difference between shuffling kilobyte
+  * vectors ×tables and shuffling 16-byte triples.
   *
   * Hyperplanes come from `xxhash64(plane, dim)` parity — a
   * deterministic ±1 "random" matrix that needs no side table and is
@@ -43,37 +43,49 @@ object Similarity {
   /** LSH near-duplicate pairs: same (tbl, bucket) in any table, exact
     * cosine verify ≥ threshold (fused native cosine — see
     * [[graft.functions.CosineSimilarity]]). Returns (vec_a, vec_b, cos).
+    *
+    * Shuffle discipline (the r2 fix): the banded self-join carries ONLY
+    * (tbl, bucket, id); pairs are distinct'd before any vector is
+    * touched, so each surviving pair is scored exactly once — not once
+    * per shared bucket — and the vector column rides through exactly
+    * two linear joins (one per pair side), never the banded exchange.
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vCol: String,
       tables: Int, bitsPerTable: Int, minCosine: Double): DataFrame = {
-    val bucketed = explodeBuckets(
-      withHyperplaneBuckets(vectors, vCol, tables, bitsPerTable))
-      .select(col(idCol), col(vCol), col("tbl"), col("bucket"))
-      .cache()
-    val a = bucketed.select(col(idCol).as("vec_a"), col(vCol).as("v_a"),
-      col("tbl"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("vec_b"), col(vCol).as("v_b"),
-      col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    val slim = vectors.select(col(idCol).as("graft_id"), col(vCol).as("graft_v")).cache()
+    val banded = explodeBuckets(
+      withHyperplaneBuckets(slim, "graft_v", tables, bitsPerTable))
+      .select(col("graft_id"), col("tbl"), col("bucket"))
+    val pairs = banded.select(col("graft_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col("graft_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    pairs
+      .join(slim.select(col("graft_id").as("vec_a"), col("graft_v").as("v_a")), "vec_a")
+      .join(slim.select(col("graft_id").as("vec_b"), col("graft_v").as("v_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"), vec.cosim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(first(col("cos")).as("cos"))
   }
 
-  /** IVF cell assignment: nearest of the broadcast `centroids` by
-    * cosine. Returns the input plus `cell` (centroid id). One broadcast
-    * nested-loop of |centroids| per row — the classic IVF build scan.
+  /** IVF cell assignment: nearest of the `centroids` by cosine. Returns
+    * the input plus `cell` (centroid id, ties toward the lowest id).
+    *
+    * The centroid set is folded into a ONE-ROW array-of-structs frame
+    * and broadcast; the per-row argmax is the native
+    * [[graft.functions.NearestCentroid]] primitive loop. Zero shuffle
+    * of the input: no ×|centroids| blow-up, no window exchange — the
+    * assignment is pure map work on whatever partitioning the input
+    * already has (the r2 fix; the old plan hash-exchanged the amplified
+    * vector-carrying frame through a row_number window).
     */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vCol: String, cidCol: String, cvCol: String): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("graft_cos", vec.cosim(col(vCol), col(cvCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("graft_cos").desc, col(cidCol))
-    scored.withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .withColumnRenamed(cidCol, "cell")
-      .drop("graft_rn", "graft_cos", cvCol)
+    val centArr = centroids.agg(
+      collect_list(struct(col(cidCol).cast("long"), col(cvCol))).as("graft_cents"))
+    vectors.crossJoin(broadcast(centArr))
+      .withColumn("cell", NearestCentroid(col(vCol), col("graft_cents")))
+      .drop("graft_cents")
   }
 }

@@ -70,50 +70,76 @@ object Ann {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin) { t =>
     val e = vectors(t)
+    // project to (query_id, vec_id, cos) before ranking so the top-k
+    // window exchange ships ids+score, not the vectors
     val scored = e.crossJoin(broadcast(queriesOf(e)))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", vec.cosim(col("qv"), col("v")))
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
     rankTopK(scored, 10)
   }
 
   /** q51: random-hyperplane LSH ANN — candidates share a bucket with
     * the query in ≥1 of 8 tables (4 bits each), exact rank on the
     * candidate set. Rows-only; recall vs q50 asserted in AnnSpec.
+    *
+    * Shuffle discipline (the r2 fix): the bucket join and the
+    * (query_id, vec_id) dedup ship ids only; the candidate vector is
+    * joined back once per distinct candidate, and the query vector
+    * comes from the tiny broadcast query set — no full vector ever
+    * rides a candidate-volume exchange.
     */
   val q51 = Q.rowsOnly("q51_ann_lsh") { t =>
+    val e = vectors(t)
     val bucketed = Similarity.explodeBuckets(
-      Similarity.withHyperplaneBuckets(vectors(t), "v", tables = 8, bitsPerTable = 4))
+      Similarity.withHyperplaneBuckets(e, "v", tables = 8, bitsPerTable = 4))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
     val qs = bucketed
       .filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("tbl"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val candidates = qs.join(bucketed, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
     val scored = candidates
-      .withColumn("cos", vec.cosim(col("qv"), col("v")))
+      .join(e, "vec_id")
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
     rankTopK(scored, 10)
   }
 
   /** q52: IVF — assign every vector to its nearest of 20 deterministic
     * centroids, probe the 5 cells nearest each query, exact rank within
     * the probed cells. Rows-only; recall vs q50 asserted in AnnSpec.
+    *
+    * Scale shape (the r2 fix): cell assignment is the zero-shuffle
+    * native argmax over the one-row broadcast centroid array
+    * ([[Similarity.assignToCentroids]]); the probe list (|queries|×5
+    * rows) is broadcast onto the assigned frame, so the big side never
+    * shuffles before the top-k window — and that window's input is
+    * (query_id, vec_id, cos) only.
     */
   val q52 = Q.rowsOnly("q52_centroid_ivf") { t =>
     val e = vectors(t)
     val centroids = e.filter(pmod(col("vec_id"), lit(25)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val assigned = Similarity.assignToCentroids(e, centroids, "vec_id", "v", "cid", "cv")
-    // probe list: 5 nearest centroids per query
+    // probe list: 5 nearest centroids per query — ranked on
+    // (query_id, cid, ccos) only, qv rejoined from the broadcast query
+    // set afterwards so even this tiny window ships no vectors
     val probes = TopK.perGroup(
       queriesOf(e).crossJoin(broadcast(centroids))
-        .withColumn("ccos", vec.cosim(col("qv"), col("cv"))),
+        .select(col("query_id"), col("cid"),
+          vec.cosim(col("qv"), col("cv")).as("ccos")),
       Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
-      .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val scored = probes.join(assigned, "cell")
+      .select(col("query_id"), col("cid").as("cell"))
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = broadcast(probes).join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", vec.cosim(col("qv"), col("v")))
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
     rankTopK(scored, 10)
   }
 

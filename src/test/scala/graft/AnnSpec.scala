@@ -47,4 +47,62 @@ class AnnSpec extends SparkSpec {
     info(f"q52 recall@10 = $r%.3f")
     assert(r >= 0.35, f"q52 recall $r%.3f below floor")
   }
+
+  // ---- shuffle-discipline assertions (SURVEY §5; VERDICT r2 #2–#4) ----
+
+  import org.apache.spark.sql.types.ArrayType
+
+  /** Runs `f` with a conf override, restoring the old value after. */
+  private def withConf[T](k: String, v: String)(f: => T): T = {
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  /** Exchanges keyed on LSH bucket columns must ship ids only — a full
+    * vector through the banded exchange is the 100-TB scale killer.
+    * Auto-broadcast is disabled so the sf0.001 plan takes the same
+    * shuffle-join shape a 100-TB run would.
+    */
+  private def assertBucketExchangesIdOnly(name: String): Unit =
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val ex = shuffles(run(name))
+      val banded = ex.filter(_.outputPartitioning.toString.contains("bucket"))
+      assert(banded.nonEmpty, s"$name: no bucket-keyed exchange found (plan changed?)")
+      for (s <- banded; a <- s.output)
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"$name: banded exchange ships array column ${a.name} — " +
+            s"vectors must join back after pair dedup, not ride the bucket shuffle")
+    }
+
+  test("q51: bucket-keyed exchanges ship ids only, never vectors") {
+    assertBucketExchangesIdOnly("q51_ann_lsh")
+  }
+
+  test("q44: bucket-keyed exchanges ship ids only, never vectors") {
+    assertBucketExchangesIdOnly("q44_dedup_embedding")
+  }
+
+  test("q51/q52: top-k window exchange carries (query_id, vec_id, cos) only") {
+    for (name <- Seq("q51_ann_lsh", "q52_centroid_ivf")) {
+      val windowEx = shuffles(run(name))
+        .filter(_.outputPartitioning.toString.contains("query_id"))
+      for (s <- windowEx; a <- s.output)
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"$name: rank exchange ships array column ${a.name}")
+    }
+  }
+
+  test("q52: cell assignment is zero-shuffle native argmax (no window, no ×|centroids| exchange)") {
+    val df = run("q52_centroid_ivf")
+    val p = planOf(df)
+    assert(p.contains("graft_nearest_centroid"),
+      s"q52 no longer uses the native nearest-centroid expression:\n$p")
+    // the only row_number window is rankTopK's; the assignment itself
+    // must not plan a window (the r2 plan row_numbered the ×20 frame)
+    val nWindows = physicalNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(nWindows <= 2, // rankTopK + probe-list TopK (both id-slim)
+      s"q52 has $nWindows windows — assignment regressed to a window plan:\n$p")
+  }
 }

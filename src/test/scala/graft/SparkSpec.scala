@@ -32,6 +32,32 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** All physical nodes of the (possibly adaptive) plan, descending
+    * through AQE wrappers — for structural shuffle/window assertions.
+    */
+  def physicalNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** The shuffle exchanges of the plan, as (partitioning-description,
+    * output-attribute) pairs ready for "this exchange ships ids only"
+    * assertions.
+    */
+  def shuffles(df: DataFrame): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    physicalNodes(df).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+
   override def afterAll(): Unit = {
     // keep the session alive for other suites in the same JVM
     super.afterAll()
