@@ -118,6 +118,49 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q29: LEFT OUTER join preserving the dim side + COALESCE zero-fill
+    * + HAVING-style post-aggregate filter — the reference's single
+    * most-used join shape (27 LEFT JOINs; e.g. /root/reference/SQL/
+    * Content Catalog Gap Analysis.txt joins content ⟕ viewing_history/
+    * watchlist to find never-watched titles, /root/reference/pyspark/
+    * Content Catalog Gap Analysis.py:6-7 `.join(..., "left")`).
+    *
+    * Parts with few/no bulk (quantity ≥ 45) sales. Scale shape: the
+    * fact is aggregated per partkey BEFORE the left join, so the join's
+    * right side is one slim row per key and the preserved dim side is
+    * never amplified — the aggregate-below-outer-join form of the gap
+    * analysis. Null-producing aggregate columns are COALESCE'd to 0 and
+    * never used as sort keys (§6(f)); the order key is the part PK.
+    */
+  val q29 = Q.of(
+    "q29_left_outer_join",
+    """SELECT p_partkey, p_brand,
+      |  COUNT(l.l_partkey) AS n_bulk_lines,
+      |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS bulk_qty,
+      |  COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS bulk_revenue
+      |FROM part p LEFT JOIN lineitem l
+      |  ON p.p_partkey = l.l_partkey AND l.l_quantity >= 45
+      |GROUP BY p_partkey, p_brand
+      |HAVING COUNT(l.l_partkey) <= 2
+      |ORDER BY p_partkey""".stripMargin) { t =>
+    val bulk = t.lineitem
+      .filter(col("l_quantity") >= 45)
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("graft_n"),
+        dsum(col("l_quantity")).as("graft_qty"),
+        dsum(col("l_extendedprice")).as("graft_rev"))
+    t.part
+      .join(bulk, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey"), col("p_brand"),
+        coalesce(col("graft_n"), lit(0L)).as("n_bulk_lines"),
+        coalesce(col("graft_qty"), lit(0.0)).as("bulk_qty"),
+        coalesce(col("graft_rev"), lit(0.0)).as("bulk_revenue"))
+      .filter(col("n_bulk_lines") <= 2)
+      .orderBy(col("p_partkey"))
+  }
+
   /** q26: salted skew join (SkewJoin operator) — the salted plan must
     * produce exactly the plain-join aggregate, which is what the DuckDB
     * oracle checks. SURVEY §5: salting spreads a hot key over numSalts
@@ -140,5 +183,5 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26)
+  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29)
 }

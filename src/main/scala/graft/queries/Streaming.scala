@@ -42,5 +42,26 @@ object Streaming {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71)
+  /** q72: streaming content dedup (dropDuplicatesWithinWatermark on
+    * md5(text)) in batch mode, aggregated to survivor-invariant totals:
+    * which row of a duplicate group survives depends on arrival order,
+    * but the count and the per-hash n_chars (identical text ⇒ identical
+    * n_chars) do not, so the aggregate has an exact oracle. The ts
+    * column the watermark needs is synthesized deterministically from
+    * doc_id — pure plumbing, it never affects the result.
+    * StreamingSpec runs the real readStream path and asserts the
+    * survivor set matches batch q40's per content hash.
+    */
+  val q72 = Q.of(
+    "q72_stream_dedup",
+    """SELECT COUNT(*) AS n_unique_docs, CAST(SUM(nc) AS BIGINT) AS unique_chars
+      |FROM (SELECT md5(text) AS h, MIN(n_chars) AS nc
+      |      FROM documents GROUP BY md5(text))""".stripMargin) { t =>
+    val docs = t.documents.withColumn("ts",
+      timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)))
+    EventStreams.dedupByContent(docs, "text", "1 hour")
+      .agg(count(lit(1)).as("n_unique_docs"), sum(col("n_chars")).as("unique_chars"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72)
 }

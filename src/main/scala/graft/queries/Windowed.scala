@@ -192,5 +192,25 @@ object Windowed {
       .orderBy(col("o_orderkey"))
   }
 
-  def all: Seq[Q] = Seq(q06, q07, q08, q09, q10, q24, q28)
+  /** q10b: approx_percentile — the sketch path for percentiles over
+    * unbounded groups (SURVEY §5), closing the reference's
+    * `percentile_approx` uses (/root/reference/pyspark/Infrastructure
+    * Cost Optimization by Content Type.py, 2×). Mirrors q25's HLL
+    * pattern: rows-only (sketch results are engine-specific), with the
+    * error bound vs exact q10 percentiles asserted in OperatorsSpec.
+    * accuracy=10000 ⇒ rank error ≤ n/10000 — at any scale the state is
+    * O(accuracy), not O(group size).
+    */
+  val q10b = Q.rowsOnly("q10b_approx_percentile") { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.25), lit(10000)).as("qty_p25"),
+        percentile_approx(col("l_quantity"), lit(0.50), lit(10000)).as("qty_median"),
+        percentile_approx(col("l_quantity"), lit(0.75), lit(10000)).as("qty_p75"),
+        percentile_approx(col("l_extendedprice"), lit(0.50), lit(10000)).as("price_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def all: Seq[Q] = Seq(q06, q07, q08, q09, q10, q10b, q24, q28)
 }

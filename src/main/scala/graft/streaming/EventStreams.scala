@@ -62,6 +62,28 @@ object EventStreams {
 
   implicit val eventWEnc: Encoder[GraftEventW] = Encoders.product[GraftEventW]
 
+  /** Streaming exact dedup by content hash — the dedup tier meeting the
+    * streaming tier (SURVEY §2 q72): first arrival per md5(text)
+    * survives; `dropDuplicatesWithinWatermark` keeps per-hash state
+    * only until the watermark passes it, so state is bounded by the
+    * duplicate-arrival horizon instead of growing with the corpus —
+    * the correct semantics for a training-data ingest stream where
+    * duplicates cluster in time (crawl re-fetches, retries).
+    *
+    * Input needs (`textCol`, ts: timestamp). On a batch frame (where
+    * Spark rejects dropDuplicatesWithinWatermark outright) the same
+    * semantics are a plain dropDuplicates on the hash — that branch is
+    * how the q72 oracle checks the survivor aggregate.
+    */
+  def dedupByContent(docs: DataFrame, textCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("graft_content_hash", md5(col(textCol)))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("graft_content_hash")
+    else hashed.dropDuplicates("graft_content_hash")
+  }
+
   /** Walks a time-sorted slice of one user's events, closing sessions
     * whose gap exceeds `gapUs`. Returns (closed sessions, open tail).
     */

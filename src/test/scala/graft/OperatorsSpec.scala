@@ -61,6 +61,25 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("approx_percentile tracks exact percentiles (q10b bound)") {
+    val approx = run("q10b_approx_percentile").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = run("q10_percentile").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, ap) <- approx; (a, e) <- ap.zip(exact(flag))) {
+      // accuracy=10000 on sf0.001 groups (~thousands of rows) ⇒ the
+      // sketch returns an actual element within tiny rank error of the
+      // true percentile; allow 5% relative slack for the interpolation
+      // difference (exact percentile_cont interpolates, the sketch
+      // returns an observed value).
+      assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
+        s"$flag: approx percentile $a vs exact $e")
+    }
+  }
+
   test("approx_count_distinct is within 10% of exact (q25 bound)") {
     val t = tables
     val rows = t.orders.groupBy("o_orderpriority")

@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
       s"streaming path emitted sessions batch never produced: ${(emitted -- batchRows.toSet).take(5)}")
   }
 
+  test("q72: streaming dedup survivor set matches batch q40 per content hash") {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts",
+        timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)))
+    val q = EventStreams.dedupByContent(stream, "text", "1 hour")
+      .select(col("graft_content_hash"), col("doc_id"))
+      .writeStream.format("memory").queryName("q72mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("q72mem").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exactly one survivor per content hash
+    assert(streamed.map(_._1).distinct.length == streamed.length,
+      "stream emitted multiple survivors for one content hash")
+    // same hash set as the batch q40 survivor set, and every streamed
+    // survivor is a member of that hash's duplicate group
+    val groups = tables.documents
+      .select(md5(col("text")).as("h"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(streamed.map(_._1).toSet == groups.keySet,
+      "streamed survivor hash set differs from batch distinct hashes")
+    for ((h, id) <- streamed)
+      assert(groups(h).contains(id), s"survivor $id not in group for hash $h")
+  }
+
   test("sessionize emits per-session rows with correct gap semantics") {
     import EventStreams._
     import spark.implicits._
