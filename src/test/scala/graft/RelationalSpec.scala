@@ -66,6 +66,24 @@ class RelationalSpec extends SparkSpec {
       s"expected 1 hash exchange (printed <=2x), got $hashExchanges:\n$p")
   }
 
+  test("q29: left outer join preserves part side with the aggregate planned below it") {
+    val df = run("q29_left_outer_join")
+    val p = planOf(df)
+    assert(p.contains("LeftOuter"), s"no left outer join in plan:\n$p")
+    // the fact aggregate must run BELOW the join (aggregate-below-
+    // outer-join: the join's right side is one slim row per partkey,
+    // so the preserved dim side is never amplified)
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    val joins = physicalNodes(df).collect {
+      case j: BaseJoinExec if j.joinType.toString == "LeftOuter" => j
+    }
+    assert(joins.nonEmpty, s"no LeftOuter physical join:\n$p")
+    val aggBelow = joins.exists(_.right.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.exists(_.groupingExpressions.exists(_.toString.contains("l_partkey"))))
+    assert(aggBelow, s"lineitem aggregate not below the outer join:\n$p")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
