@@ -1,7 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+
+/** One decoded row of media features — the schema a real decoder
+  * batch returns (mirrors the decodeStub column pipeline).
+  */
+final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: String,
+    n_frames: Long, first_frame: String)
 
 /** Multimodal payload plumbing (SURVEY.md §2 q60).
   *
@@ -46,4 +52,44 @@ object Multimodal {
           s" i -> md5(substr($textCol, i, 16)))"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
       .withColumn("first_frame", element_at(col("frames"), 1))
+
+  implicit val mediaEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** BATCH-shaped decode over raw payload bytes: the Scala analog of a
+    * `mapInPandas` decoder — invoked once per PARTITION with an
+    * iterator over (id, payload) rows, so per-batch setup (a codec
+    * context, a model handle; here the reused MessageDigest) is paid
+    * once per task, not per row, and rows stream through without
+    * materializing the partition. Preserves the input partitioning —
+    * no shuffle. Same stub semantics as [[decodeStub]] (byte-strided
+    * fake frames; swap the loop body for a real codec on a cluster
+    * that has one) — MultimodalSpec pins batched ≡ column-pipeline.
+    */
+  def decodeBatchedStub(df: DataFrame, idCol: String): Dataset[MediaFeatures] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = {
+        val digest = md.digest(b)
+        val sb = new StringBuilder(32)
+        for (x <- digest) sb.append(f"${x & 0xff}%02x")
+        sb.toString
+      }
+      it.map { case (id, payload) =>
+        val len = payload.length
+        val limit = math.max(len - 15, 1)
+        var i = 1
+        var n = 0L
+        var first: String = null
+        while (i <= limit) {
+          val frame = hex(java.util.Arrays.copyOfRange(payload, i - 1, math.min(i + 15, len)))
+          if (first == null) first = frame
+          n += 1
+          i += 64
+        }
+        MediaFeatures(id, len.toLong, hex(payload), n, first)
+      }
+    }
+  }
 }

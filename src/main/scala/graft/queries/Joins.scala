@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
-import graft.operators.SkewJoin
+import graft.operators.{AsofJoin, SkewJoin}
 
 /** Join-shape queries (SURVEY.md §2 q15–q18, q22, q26).
   *
@@ -183,5 +184,45 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29)
+  /** q35: backward as-of join — each event paired with the customer's
+    * most recent order at event time ([[AsofJoin.backward]]: the
+    * union + running-last window merge, one exchange, no range-join
+    * blow-up). Right-side (custkey, orderdate) ties are pre-deduped to
+    * the max orderkey so the as-of target is unique and both engines
+    * are deterministic; the oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  val q35 = Q.of(
+    "q35_asof_join",
+    """WITH od AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS last_orderdate,
+      |    o_orderkey AS last_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders
+      |), odd AS (
+      |  SELECT user_id, last_orderdate, last_orderkey FROM od WHERE rn = 1
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, odd.last_orderdate, odd.last_orderkey,
+      |  CAST(CAST(e.ts AS DATE) - CAST(odd.last_orderdate AS DATE) AS BIGINT) AS days_since_order
+      |FROM events e ASOF LEFT JOIN odd
+      |  ON e.user_id = odd.user_id AND odd.last_orderdate <= e.ts
+      |ORDER BY e.event_id""".stripMargin) { t =>
+    val dw = Window.partitionBy(col("user_id"), col("last_orderdate"))
+      .orderBy(col("last_orderkey").desc)
+    val od = t.orders
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("last_orderdate"),
+        col("o_orderkey").as("last_orderkey"))
+      .withColumn("graft_rn", row_number().over(dw))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+    AsofJoin.backward(
+      t.events.select(col("event_id"), col("user_id"), col("ts")),
+      od, keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "last_orderdate")
+      .withColumn("days_since_order",
+        datediff(col("ts"), col("last_orderdate")).cast("long"))
+      .orderBy(col("event_id"))
+  }
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29, q35)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{Sessionize, SkewJoin, TopK}
+import graft.operators.{AsofJoin, Sessionize, SkewJoin, TopK}
 
 /** Semantics of the standalone operators on tiny in-memory frames. */
 class OperatorsSpec extends SparkSpec {
@@ -59,6 +59,52 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority").collect().toSeq
     assert(salted == plain)
+  }
+
+  test("AsofJoin.backward: most recent right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "e1"), // after r@5  -> price 100
+      (1L, 20L, "e2"), // at r@20    -> <= matches, price 200
+      (1L, 25L, "e3"), // after r@20 -> price 200
+      (2L, 10L, "e4"), // no right rows for key 2 -> null payload
+      (3L, 1L, "e5"))  // before key 3's only right row -> null payload
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 5L, 100.0), (1L, 20L, 200.0), (3L, 9L, 300.0))
+      .toDF("k", "rt", "price")
+    val out = AsofJoin.backward(left, right, "k", "t", "rt")
+      .select("ev", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(
+      "e1" -> Some(100.0), "e2" -> Some(200.0), "e3" -> Some(200.0),
+      "e4" -> None, "e5" -> None))
+  }
+
+  test("AsofJoin.backward: a right row with a null field supersedes atomically") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 5L, Some(100.0), Some("old")),
+      (1L, 20L, None: Option[Double], Some("new"))) // newer row, null price
+      .toDF("k", "rt", "price", "tag")
+    val row = AsofJoin.backward(left, right, "k", "t", "rt")
+      .select("price", "tag").head()
+    // the newer right row wins as a unit: null price, tag "new" —
+    // per-column fills would have stitched price=100.0 from the old row
+    assert(row.isNullAt(0) && row.getString(1) == "new")
+  }
+
+  test("AsofJoin plans one hash exchange and zero join nodes (q35 core)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100.0)).toDF("k", "rt", "price")
+    val df = AsofJoin.backward(left, right, "k", "t", "rt")
+    val nodes = physicalNodes(df)
+    val joins = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins == 0, s"asof merge must not plan a join, found $joins")
+    assert(shuffles(df).size == 1,
+      s"asof merge must cost exactly one exchange, found ${shuffles(df).size}")
   }
 
   test("approx_percentile tracks exact percentiles (q10b bound)") {
