@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
-import graft.operators.{AsofJoin, SkewJoin}
+import graft.operators.{AsofJoin, RangeJoin, SkewJoin}
 
 /** Join-shape queries (SURVEY.md §2 q15–q18, q22, q26).
   *
@@ -224,5 +224,44 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29, q35)
+  /** q36: interval range join — shipments landing inside any
+    * high-value order's 7-day window ([[RangeJoin.pointInInterval]]:
+    * bucketized equi-join + residual filter; a raw range-predicate
+    * join would plan as a broadcast nested loop scanning
+    * |lineitem|·|windows| pairs). Times are compared in epoch micros;
+    * the bucket width equals the 7-day span so each window explodes
+    * into ≤2 buckets. Oracle is the plain range-predicate join, which
+    * DuckDB executes natively (IEJoin).
+    */
+  val q36 = Q.of(
+    "q36_range_join",
+    """SELECT o.o_orderkey, o.o_orderdate AS window_start,
+      |  COUNT(*) AS n_shipped_7d,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty_shipped_7d
+      |FROM lineitem l
+      |JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_totalprice > 490000) o
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |GROUP BY o.o_orderkey, o.o_orderdate
+      |ORDER BY o.o_orderkey""".stripMargin) { t =>
+    val weekUs = 7L * 86400L * 1000000L
+    // parquet stores these as TIMESTAMP_NTZ; the session zone is UTC,
+    // so the cast to instant is wall-clock-exact on both engines
+    val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    val windows = t.orders
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_orderkey"), col("o_orderdate").as("window_start"),
+        odUs.as("w_start_us"), (odUs + weekUs - 1).as("w_end_us"))
+    val ships = t.lineitem
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_quantity"))
+    RangeJoin.pointInInterval(ships, "ship_us", windows, "w_start_us", "w_end_us",
+      bucketWidth = weekUs)
+      .groupBy(col("o_orderkey"), col("window_start"))
+      .agg(count(lit(1)).as("n_shipped_7d"),
+        dsum(col("l_quantity")).as("qty_shipped_7d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29, q35, q36)
 }

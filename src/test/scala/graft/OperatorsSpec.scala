@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Sessionize, SkewJoin, TopK}
+import graft.operators.{AsofJoin, RangeJoin, Sessionize, SkewJoin, TopK}
 
 /** Semantics of the standalone operators on tiny in-memory frames. */
 class OperatorsSpec extends SparkSpec {
@@ -105,6 +105,35 @@ class OperatorsSpec extends SparkSpec {
     assert(joins == 0, s"asof merge must not plan a join, found $joins")
     assert(shuffles(df).size == 1,
       s"asof merge must cost exactly one exchange, found ${shuffles(df).size}")
+  }
+
+  test("RangeJoin.pointInInterval: inclusive bounds, cross-bucket intervals match") {
+    import spark.implicits._
+    val points = Seq((7L, "p0"), (1L, "p1"), (10L, "p2"), (15L, "p3"), (25L, "p4"), (99L, "p5"))
+      .toDF("t", "p")
+    // interval B spans buckets 0 and 1 (width 10): p0 (bucket 0) and
+    // p2 (bucket 1) must both match it; bounds are inclusive (p2 at
+    // A's start, p3 at A's end)
+    val intervals = Seq((10L, 15L, "A"), (5L, 12L, "B")).toDF("s", "e", "iv")
+    val out = RangeJoin.pointInInterval(points, "t", intervals, "s", "e", bucketWidth = 10L)
+      .select("p", "iv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("p2", "A"), ("p3", "A"), ("p0", "B"), ("p2", "B")),
+      s"got $out")
+  }
+
+  test("RangeJoin plans a hash equi-join on buckets, never a nested loop (q36 core)") {
+    import spark.implicits._
+    val points = spark.range(1000).select(col("id").as("t"))
+    val intervals = spark.range(50)
+      .select((col("id") * 20).as("s"), (col("id") * 20 + 9).as("e"))
+    val df = RangeJoin.pointInInterval(points, "t", intervals, "s", "e", bucketWidth = 10L)
+    val p = planOf(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    val equiJoins = physicalNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.nonEmpty => j
+    }
+    assert(equiJoins.nonEmpty, s"no equi-join on bucket keys:\n$p")
   }
 
   test("approx_percentile tracks exact percentiles (q10b bound)") {
