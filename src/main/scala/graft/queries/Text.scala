@@ -164,5 +164,50 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  /** q37: per-source heavy-hitter tokens via the Misra–Gries typed
+    * Aggregator ([[graft.functions.FrequentItems]], k=32 counters) +
+    * exact verify: the MG pass ships ≤32 counters per source through
+    * the shuffle regardless of vocabulary size; exact counting then
+    * touches ONLY candidate tokens (broadcast candidate filter), and
+    * the threshold keeps tokens with true count > N_source/33. The MG
+    * guarantee (every item above N/(k+1) survives the summary, merges
+    * included) makes the final set EXACTLY the brute-force answer, so
+    * this sketch query has a real oracle — the oracle computes the
+    * same set by counting every token, which is the plan shape this
+    * query exists to avoid at scale.
+    */
+  val q37 = Q.of(
+    "q37_frequent_tokens",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, token, COUNT(*) AS n_occurrences FROM tok GROUP BY 1, 2
+      |), tot AS (SELECT source, COUNT(*) AS n_tok FROM tok GROUP BY 1)
+      |SELECT c.source, c.token, c.n_occurrences
+      |FROM counts c JOIN tot USING (source)
+      |WHERE c.n_occurrences > n_tok / 33.0
+      |ORDER BY c.source, c.token""".stripMargin) { t =>
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val tokens = t.documents
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
+    val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val mg = new graft.functions.FrequentItems(32)
+    val cands = tokens.as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(mg.toColumn.name("freq"))
+      .toDF("source", "freq")
+      .select(col("source"), explode(map_keys(col("freq"))).as("token"))
+    tokens
+      .join(broadcast(cands), Seq("source", "token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(totals), "source")
+      .filter(col("n_occurrences") > col("n_tok") / lit(33.0))
+      .select(col("source"), col("token"), col("n_occurrences"))
+      .orderBy(col("source"), col("token"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37)
 }

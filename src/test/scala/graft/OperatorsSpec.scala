@@ -155,6 +155,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("FrequentItems (Misra-Gries): heavy items survive partitioned merges, estimates bounded") {
+    import spark.implicits._
+    // 100x 'heavy', 40x 'mid', 400 distinct noise items -> N=540, k=8
+    // guarantee: anything above N/(k+1)=60 must survive; estimates
+    // undercount by at most N/(k+1)
+    val rng = new scala.util.Random(42)
+    val items = rng.shuffle(
+      (Seq.fill(100)("heavy") ++ Seq.fill(40)("mid") ++
+        (0 until 400).map(i => s"noise_$i")).toVector)
+    val ds = spark.createDataset(items).repartition(4) // force cross-partition merges
+    val mg = new graft.functions.FrequentItems(8)
+    val summary = ds.groupByKey(_ => 0).mapValues(identity)
+      .agg(mg.toColumn.name("freq")).collect().head._2
+    assert(summary.size <= 8, s"summary exceeded k counters: ${summary.size}")
+    assert(summary.contains("heavy"), s"heavy hitter evicted: $summary")
+    val est = summary("heavy")
+    assert(est <= 100L && est >= 100L - 540L / 9, s"estimate $est outside MG bound")
+  }
+
   test("approx_count_distinct is within 10% of exact (q25 bound)") {
     val t = tables
     val rows = t.orders.groupBy("o_orderpriority")
