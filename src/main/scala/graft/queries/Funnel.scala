@@ -34,7 +34,9 @@ object Funnel {
       |SELECT cohort, strftime(o_orderdate, '%Y-%m') AS ym,
       |  COUNT(*) AS n_orders,
       |  COUNT(DISTINCT orders.o_custkey) AS n_customers,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 END) AS DOUBLE)
+      |    / COUNT(*) AS weekend_share
       |FROM orders JOIN firsts ON orders.o_custkey = firsts.o_custkey
       |GROUP BY cohort, ym
       |ORDER BY cohort, ym""".stripMargin) { t =>
@@ -47,7 +49,13 @@ object Funnel {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        dsum(col("o_totalprice")).as("revenue"))
+        dsum(col("o_totalprice")).as("revenue"),
+        // weekend ratio (ref: Binge-Watching weekend_binge_ratio —
+        // dayofweek + isin). Spark numbers days 1=Sun..7, DuckDB
+        // 0=Sun..6, so the literal sets differ while the predicate is
+        // identical; exact int counts → one double division.
+        (count(when(dayofweek(col("o_orderdate")).isin(1, 7), 1)).cast("double")
+          / count(lit(1))).as("weekend_share"))
       .orderBy(col("cohort"), col("ym"))
   }
 
