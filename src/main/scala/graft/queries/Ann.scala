@@ -143,5 +143,26 @@ object Ann {
     rankTopK(scored, 10)
   }
 
-  def all: Seq[Q] = Seq(q50, q51, q52)
+  /** q53: brute-force top-k over int8-QUANTIZED vectors
+    * ([[graft.functions.quant]]) — the storage/shuffle scale path:
+    * 8× fewer bytes per vector than the double tier with only
+    * quantization noise in the scores (cosine is scale-invariant, so
+    * max-abs scaling needs no bookkeeping). Rows-only — the scores are
+    * approximations by design; AnnSpec pins recall@10 vs exact q50.
+    */
+  val q53 = Q.rowsOnly("q53_ann_quantized") { t =>
+    import graft.functions.quant
+    val e = t.embeddings
+      .select(col("vec_id"),
+        quant.quantizeI8(vec.toDoubleArr(col("embedding"))).as("qv8"))
+    val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv8").as("qq8"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        quant.cosimI8(col("qq8"), col("qv8")).as("cos"))
+    rankTopK(scored, 10)
+  }
+
+  def all: Seq[Q] = Seq(q50, q51, q52, q53)
 }

@@ -48,6 +48,18 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.35, f"q52 recall $r%.3f below floor")
   }
 
+  test("q53 int8-quantized recall@10 vs exact >= 0.8 (quantization noise only)") {
+    val r = recallAt10(topk("q53_ann_quantized"))
+    info(f"q53 recall@10 = $r%.3f")
+    assert(r >= 0.8, f"q53 recall $r%.3f below floor — int8 noise should cost little")
+  }
+
+  test("q50/q51/q52/q53 rank paths all get partial WindowGroupLimit") {
+    for (name <- Seq("q50_ann_bruteforce", "q51_ann_lsh", "q52_centroid_ivf", "q53_ann_quantized"))
+      assert(planOf(run(name)).contains("WindowGroupLimit"),
+        s"$name top-k lost WindowGroupLimit (partial top-k before the rank shuffle)")
+  }
+
   // ---- shuffle-discipline assertions (SURVEY §5; VERDICT r2 #2–#4) ----
 
   import org.apache.spark.sql.types.ArrayType
