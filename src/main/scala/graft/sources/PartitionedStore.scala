@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet layout helpers — the storage half of the §5
+  * scale rules. The reference project reads pre-registered tables, so
+  * its io surface is implicit; at 100 TB the layout IS the query plan:
+  * a scan that can skip partition directories never pays for the data
+  * it doesn't read.
+  *
+  * `writePartitioned` lays a frame out hive-style
+  * (`col=value/part-*.parquet`); reads through `readPartitioned` then
+  * resolve equality/IN predicates on the partition columns at PLANNING
+  * time (the scan's `PartitionFilters`, asserted in SourcesSpec — zero
+  * files of a pruned partition are opened, vs `PushedFilters` which
+  * still reads footers). Choose partition columns with bounded
+  * cardinality (date, source, category — not a key): each distinct
+  * value is a directory, and tiny partitions devolve into the
+  * small-files problem. `repartition` on the partition columns before
+  * the write so each partition directory gets coalesced output files
+  * instead of one shard per input task.
+  */
+object PartitionedStore {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
