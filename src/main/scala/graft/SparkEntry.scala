@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q38 is the composed corpus-curation pass — language gate,
+    * quality gate, exact dedup, per-source token budget in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q03_multi_join_agg").run(spark, "/root/testdata/sf0.001")
+    Registry.byName("q38_corpus_pipeline").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

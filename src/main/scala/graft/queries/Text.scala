@@ -212,5 +212,75 @@ object Text {
       .orderBy(col("source"), col("token"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37)
+  /** q38: the composed corpus-curation pass — the "a user could run
+    * their whole pipeline" query: language gate (q32's profile) →
+    * quality gate (q31's score ≥ 0.5) → exact dedup survivors (q40's
+    * operator, lowest doc_id per content hash) → per-source doc count,
+    * token budget and mean quality. Catalyst fuses the two gates and
+    * the score into ONE codegen'd scan stage; the only shuffles are
+    * the dedup hash and the final per-source aggregate. Deterministic
+    * end to end, so the whole composition has an exact oracle.
+    */
+  val q38 = Q.of(
+    "q38_corpus_pipeline",
+    """WITH scored AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+      |      / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS stop_ratio,
+      |    len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS en_hits,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein)\b')) AS de_hits,
+      |    len(regexp_extract_all(text, '\b(el|los|las|una|es|y|que)\b')) AS es_hits,
+      |    len(regexp_extract_all(text, '\b(le|les|des|et|est|une|dans)\b')) AS fr_hits
+      |  FROM documents
+      |), kept AS (
+      |  SELECT *, round(least(1.0, n_chars/500.0)*0.5 + (1.0-punct_ratio)*0.3
+      |                  + least(1.0, stop_ratio*5.0)*0.2, 4) AS quality
+      |  FROM scored
+      |  WHERE en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+      |), filtered AS (
+      |  SELECT * FROM kept WHERE quality >= 0.5
+      |), surv AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM filtered
+      |  ) WHERE rn = 1
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+      |FROM surv GROUP BY source
+      |ORDER BY source""".stripMargin) { t =>
+    import graft.functions.det._
+    import graft.operators.{Dedup => D}
+    val scored = t.documents.select(
+      col("doc_id"), col("source"), col("text"), col("n_chars"),
+      nMatches(col("text"), wsTok).as("n_tokens"),
+      (nMatches(col("text"), punct).cast("double") /
+        nullif(length(col("text")).cast("long"), lit(0L))).as("punct_ratio"),
+      (nMatches(col("text"), enStops).cast("double") /
+        nullif(nMatches(col("text"), wsTok), lit(0L))).as("stop_ratio"),
+      nMatches(col("text"), enStops).as("en_hits"),
+      nMatches(col("text"), "\\b(der|die|das|und|ist|nicht|ein)\\b").as("de_hits"),
+      nMatches(col("text"), "\\b(el|los|las|una|es|y|que)\\b").as("es_hits"),
+      nMatches(col("text"), "\\b(le|les|des|et|est|une|dans)\\b").as("fr_hits"))
+    val kept = scored
+      .filter(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+        col("en_hits") >= col("fr_hits"))
+      .withColumn("quality", round(
+        least(lit(1.0), col("n_chars") / 500.0) * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(lit(1.0), col("stop_ratio") * 5.0) * 0.2, 4))
+      .filter(col("quality") >= 0.5)
+    D.exactByContent(kept, "text", "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(dsum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38)
 }
