@@ -63,5 +63,21 @@ object Streaming {
       .agg(count(lit(1)).as("n_unique_docs"), sum(col("n_chars")).as("unique_chars"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72)
+  /** q73: stream-static enrichment join in batch mode — the streaming
+    * deployment's exact operator ([[EventStreams.enrichedSegmentCounts]]);
+    * StreamingSpec drives the readStream path and asserts it equals
+    * this batch result.
+    */
+  val q73 = Q.of(
+    "q73_stream_enrich",
+    """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY segment, event_type""".stripMargin) { t =>
+    EventStreams.enrichedSegmentCounts(t.events, t.customer)
+      .orderBy(col("segment"), col("event_type"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73)
 }

@@ -62,6 +62,24 @@ object EventStreams {
 
   implicit val eventWEnc: Encoder[GraftEventW] = Encoders.product[GraftEventW]
 
+  /** Stream-static enrichment: events joined to a broadcast customer
+    * dim, rolled up to per-segment/event-type counts (SURVEY §2 q73).
+    * On a stream this is Spark's stream-static join — the dim is
+    * re-broadcast per microbatch, the stream side never shuffles for
+    * the join, and the aggregate holds one row of state per
+    * (segment, event_type); identical logical plan in batch, which is
+    * how the oracle checks it.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(graft.functions.det.D20_6)).cast("double").as("total_value"))
+      .select(col("segment"), col("event_type"), col("n"), col("total_value"))
+
   /** Streaming exact dedup by content hash — the dedup tier meeting the
     * streaming tier (SURVEY §2 q72): first arrival per md5(text)
     * survives; `dropDuplicatesWithinWatermark` keeps per-hash state

@@ -125,6 +125,23 @@ class StreamingSpec extends SparkSpec {
       assert(groups(h).contains(id), s"survivor $id not in group for hash $h")
   }
 
+  test("q73: stream-static enrichment join over file source equals batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.enrichedSegmentCounts(stream, tables.customer)
+      .writeStream.format("memory").queryName("q73mem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("q73mem")
+      .orderBy("segment", "event_type").collect().toSeq
+    val batch = run("q73_stream_enrich").collect().toSeq
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("sessionize emits per-session rows with correct gap semantics") {
     import EventStreams._
     import spark.implicits._
