@@ -164,5 +164,36 @@ object Ann {
     rankTopK(scored, 10)
   }
 
-  def all: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** q54: two-stage retrieval — int8 coarse scan (top-30 per query on
+    * quantized vectors: 8× fewer bytes and integer arithmetic for the
+    * n×|queries| pass) followed by exact double-cosine re-rank of just
+    * the 30 survivors. The production retrieval shape: the expensive
+    * exact pass touches 30 rows per query instead of n. Rows-only;
+    * AnnSpec pins recall@10 ≥ the one-stage quantized path (re-ranking
+    * can only fix ordering errors inside the candidate set).
+    */
+  val q54 = Q.rowsOnly("q54_ann_rerank") { t =>
+    import graft.functions.quant
+    val e8 = t.embeddings
+      .select(col("vec_id"),
+        quant.quantizeI8(vec.toDoubleArr(col("embedding"))).as("qv8"))
+    val qs8 = e8.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv8").as("qq8"))
+    val coarse = TopK.perGroup(
+      e8.crossJoin(broadcast(qs8))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          quant.cosimI8(col("qq8"), col("qv8")).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("vec_id")), k = 30, rankCol = "crn")
+      .select(col("query_id"), col("vec_id"))
+    val e = vectors(t)
+    val scored = coarse
+      .join(e, "vec_id")
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
+    rankTopK(scored, 10)
+  }
+
+  def all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
 }

@@ -54,6 +54,15 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.8, f"q53 recall $r%.3f below floor — int8 noise should cost little")
   }
 
+  test("q54 two-stage re-rank recall@10 >= one-stage quantized recall") {
+    val r53 = recallAt10(topk("q53_ann_quantized"))
+    val r54 = recallAt10(topk("q54_ann_rerank"))
+    info(f"q53 recall@10 = $r53%.3f, q54 recall@10 = $r54%.3f")
+    assert(r54 >= r53 - 1e-9,
+      f"re-rank recall $r54%.3f fell below the coarse pass $r53%.3f")
+    assert(r54 >= 0.9, f"q54 recall $r54%.3f below floor")
+  }
+
   test("q50/q51/q52/q53 rank paths all get partial WindowGroupLimit") {
     for (name <- Seq("q50_ann_bruteforce", "q51_ann_lsh", "q52_centroid_ivf", "q53_ann_quantized"))
       assert(planOf(run(name)).contains("WindowGroupLimit"),
