@@ -3,31 +3,30 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.TextProfile
 
 /** Text-analysis queries over the documents table (SURVEY.md §2
   * q30–q34) — the language-data half of the engine: token counting,
   * quality scoring, language ID, fingerprinting, n-gram profiles.
   *
-  * Everything is built from codegen'd `functions.*` column expressions
-  * (regexp_extract_all / transform / sequence / md5) — no UDFs, so the
-  * whole pipeline stays inside WholeStageCodegen and scales linearly in
-  * bytes scanned. Per-row cost is O(n_chars); there are no shuffles at
-  * all until the final ORDER BY (which exists only for the oracle
-  * compare — a production pipeline would write partition-local).
+  * All per-row counts (tokens, punctuation, stopword hits) come from
+  * ONE fused pass over the text — the native
+  * [[graft.functions.TextProfile]] expression with real codegen — so
+  * the scan stage stays inside WholeStageCodegen and per-row cost is a
+  * single O(n_chars) walk with zero allocation. The r3 composed form
+  * ran eight `regexp_extract_all` calls per row, each materializing an
+  * array of every match just to count it, and filter pushdown
+  * duplicated those into the q38 gate predicates (~20 regex scans per
+  * row, 2.6× the baseline pin). The ORACLES still use the regex form —
+  * the correctness gate proves the fused pass reproduces the regex
+  * semantics exactly; TextSpec additionally pins fused ≡ regex on
+  * hostile inputs (multibyte, tabs, word-boundary edge cases).
   *
-  * Regex patterns are restricted to syntax with identical semantics in
-  * Java regex (Spark) and RE2 (DuckDB): ASCII classes, alternation,
-  * `\b`, `\S`. Counts are cast to long to match DuckDB's BIGINT len().
+  * Oracle regex patterns are restricted to syntax with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB): ASCII classes,
+  * alternation, `\b`, `\S`. Counts are long to match DuckDB's BIGINT.
   */
 object Text {
-
-  private val wsTok = "\\S+"
-  private val bpeTok = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-  private val punct = "[^a-z0-9 ]"
-  private val enStops = "\\b(the|a|and|of|to|in|is)\\b"
-
-  private def nMatches(c: Column, pat: String): Column =
-    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
 
   /** q30: token counting — whitespace tokens and a BPE-ish pre-token
     * split (letter runs / digit runs / single punctuation), the shape a
@@ -41,10 +40,11 @@ object Text {
       |  CAST(n_chars AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS chars_per_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { t =>
+    val p = TextProfile(col("text"))
     t.documents
       .select(col("doc_id"), col("n_chars"),
-        nMatches(col("text"), wsTok).as("n_ws_tokens"),
-        nMatches(col("text"), bpeTok).as("n_bpe_tokens"))
+        p.getField("n_ws_tokens").as("n_ws_tokens"),
+        p.getField("n_bpe_tokens").as("n_bpe_tokens"))
       .withColumn("chars_per_token",
         col("n_chars").cast("double") / nullif(col("n_ws_tokens"), lit(0L)))
       .orderBy(col("doc_id"))
@@ -67,13 +67,14 @@ object Text {
       |  FROM documents
       |)
       |ORDER BY doc_id""".stripMargin) { t =>
+    val p = TextProfile(col("text"))
     t.documents
       .select(col("doc_id"), col("n_chars"),
-        nMatches(col("text"), wsTok).as("n_tokens"),
-        (nMatches(col("text"), punct).cast("double") /
+        p.getField("n_ws_tokens").as("n_tokens"),
+        (p.getField("n_punct").cast("double") /
           nullif(length(col("text")).cast("long"), lit(0L))).as("punct_ratio"),
-        (nMatches(col("text"), enStops).cast("double") /
-          nullif(nMatches(col("text"), wsTok), lit(0L))).as("stop_ratio"))
+        (p.getField("en_hits").cast("double") /
+          nullif(p.getField("n_ws_tokens"), lit(0L))).as("stop_ratio"))
       .withColumn("quality", round(
         least(lit(1.0), col("n_chars") / 500.0) * 0.5 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
@@ -103,11 +104,12 @@ object Text {
       |  FROM documents
       |)
       |ORDER BY doc_id""".stripMargin) { t =>
+    val p = TextProfile(col("text"))
     val scored = t.documents.select(col("doc_id"), col("lang"),
-      nMatches(col("text"), "\\b(the|a|and|of|to|in|is)\\b").as("en_hits"),
-      nMatches(col("text"), "\\b(der|die|das|und|ist|nicht|ein)\\b").as("de_hits"),
-      nMatches(col("text"), "\\b(el|los|las|una|es|y|que)\\b").as("es_hits"),
-      nMatches(col("text"), "\\b(le|les|des|et|est|une|dans)\\b").as("fr_hits"))
+      p.getField("en_hits").as("en_hits"),
+      p.getField("de_hits").as("de_hits"),
+      p.getField("es_hits").as("es_hits"),
+      p.getField("fr_hits").as("fr_hits"))
     scored.withColumn("predicted",
       when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
         col("en_hits") >= col("fr_hits"), "en")
@@ -216,10 +218,14 @@ object Text {
     * their whole pipeline" query: language gate (q32's profile) →
     * quality gate (q31's score ≥ 0.5) → exact dedup survivors (q40's
     * operator, lowest doc_id per content hash) → per-source doc count,
-    * token budget and mean quality. Catalyst fuses the two gates and
-    * the score into ONE codegen'd scan stage; the only shuffles are
-    * the dedup hash and the final per-source aggregate. Deterministic
-    * end to end, so the whole composition has an exact oracle.
+    * token budget and mean quality. All eight per-row counts come from
+    * ONE [[graft.functions.TextProfile]] pass, so even where Catalyst
+    * pushes the gate predicates below the projection the duplicated
+    * references are single fused walks (collapsed further by codegen
+    * subexpression elimination) — the r3 regex form paid ~20
+    * match-array regex scans per row here. The only shuffles are the
+    * dedup hash and the final per-source aggregate. Deterministic end
+    * to end, so the whole composition has an exact oracle.
     */
   val q38 = Q.of(
     "q38_corpus_pipeline",
@@ -254,17 +260,18 @@ object Text {
       |ORDER BY source""".stripMargin) { t =>
     import graft.functions.det._
     import graft.operators.{Dedup => D}
+    val p = TextProfile(col("text"))
     val scored = t.documents.select(
       col("doc_id"), col("source"), col("text"), col("n_chars"),
-      nMatches(col("text"), wsTok).as("n_tokens"),
-      (nMatches(col("text"), punct).cast("double") /
+      p.getField("n_ws_tokens").as("n_tokens"),
+      (p.getField("n_punct").cast("double") /
         nullif(length(col("text")).cast("long"), lit(0L))).as("punct_ratio"),
-      (nMatches(col("text"), enStops).cast("double") /
-        nullif(nMatches(col("text"), wsTok), lit(0L))).as("stop_ratio"),
-      nMatches(col("text"), enStops).as("en_hits"),
-      nMatches(col("text"), "\\b(der|die|das|und|ist|nicht|ein)\\b").as("de_hits"),
-      nMatches(col("text"), "\\b(el|los|las|una|es|y|que)\\b").as("es_hits"),
-      nMatches(col("text"), "\\b(le|les|des|et|est|une|dans)\\b").as("fr_hits"))
+      (p.getField("en_hits").cast("double") /
+        nullif(p.getField("n_ws_tokens"), lit(0L))).as("stop_ratio"),
+      p.getField("en_hits").as("en_hits"),
+      p.getField("de_hits").as("de_hits"),
+      p.getField("es_hits").as("es_hits"),
+      p.getField("fr_hits").as("fr_hits"))
     val kept = scored
       .filter(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
         col("en_hits") >= col("fr_hits"))

@@ -52,6 +52,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("TextProfile fused pass ≡ the regex stack on hostile inputs") {
+    import spark.implicits._
+    // word-boundary edges, digits/underscore gluing, uppercase,
+    // tabs/newlines (punct class excludes ONLY space), multibyte chars,
+    // stopwords shared across languages, runs longer than any stopword
+    val hostile = Seq(
+      "the cat in the hat is a hat of the cat",
+      "the_cat in5 THE a- -a -a- a",
+      "theory of din is not in; the.the,the",
+      "tab\there\nnewlinevtab\rcr and\fff",
+      "café naï the über und der däs",
+      "日本語 the 日本 es y est une",
+      "a",
+      "   ",
+      "es es es y y que der die das le les des",
+      "punct!!! ### $$$ 123 abc ABC _x_ x_x 9to5",
+      "aaaaaaaaaaaaaaaaaaaa bbbbb the").toDF("text")
+    val pats = Seq(
+      "\\S+", "[a-z]+|[0-9]+|[^a-z0-9\\s]", "[^a-z0-9 ]",
+      "\\b(the|a|and|of|to|in|is)\\b", "\\b(der|die|das|und|ist|nicht|ein)\\b",
+      "\\b(el|los|las|una|es|y|que)\\b", "\\b(le|les|des|et|est|une|dans)\\b")
+    val p = graft.functions.TextProfile(col("text"))
+    val fields = Seq("n_ws_tokens", "n_bpe_tokens", "n_punct",
+      "en_hits", "de_hits", "es_hits", "fr_hits")
+    val rows = hostile.select(col("text"),
+      struct(fields.map(f => p.getField(f).as(f)): _*).as("fused"),
+      struct(pats.zip(fields).map { case (pat, f) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(f)
+      }: _*).as("regex")).collect()
+    for (r <- rows) {
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"fused=${r.getStruct(1)} regex=${r.getStruct(2)} for text '${r.getString(0)}'")
+    }
+  }
+
   test("q33 fingerprint: near-identical docs share shingle_fp far more than random") {
     val fp = run("q33_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
