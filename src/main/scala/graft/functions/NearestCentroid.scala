@@ -29,6 +29,9 @@ case class NearestCentroid(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+  // an empty centroid array yields null (no cell), even when both
+  // inputs are non-null — see nullSafeEval
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_nearest_centroid"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -45,6 +48,8 @@ case class NearestCentroid(left: Expression, right: Expression)
   override def nullSafeEval(v: Any, cents: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val cs = cents.asInstanceOf[ArrayData]
+    val nCents = cs.numElements()
+    if (nCents == 0) return null // no cells to assign to (ADVICE r3)
     val dim = x.numElements()
     var nx = 0.0
     var i = 0
@@ -52,7 +57,6 @@ case class NearestCentroid(left: Expression, right: Expression)
     var bestCos = Double.NegativeInfinity
     var bestCid = Long.MaxValue
     var c = 0
-    val nCents = cs.numElements()
     while (c < nCents) {
       val row = cs.getStruct(c, 2)
       val cid = row.getLong(0)
@@ -65,7 +69,11 @@ case class NearestCentroid(left: Expression, right: Expression)
         dotv += x.getDouble(j) * yj; ny += yj * yj
         j += 1
       }
-      val cos = dotv / (math.sqrt(nx) * math.sqrt(ny))
+      // zero-norm vector or centroid: cosine undefined → rank it below
+      // every real similarity (-1 ≤ cos always) instead of letting NaN
+      // poison the comparison and fall through to Long.MaxValue
+      val cos = if (nx == 0.0 || ny == 0.0) -2.0
+        else dotv / (math.sqrt(nx) * math.sqrt(ny))
       if (cos > bestCos || (cos == bestCos && cid < bestCid)) {
         bestCos = cos; bestCid = cid
       }

@@ -41,10 +41,18 @@ object AsofJoin {
     val payload = right.columns.filter(_ != keyCol).toSeq
     require(!payload.exists(left.columns.contains),
       s"left already has right payload columns: ${payload.filter(left.columns.contains).mkString(",")}")
+    val internal = Seq("graft_t", "graft_side", "graft_payload")
+    val clash = internal.filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"inputs must not contain the asof-join internal columns: ${clash.mkString(",")}")
     val l = left
       .withColumn("graft_t", col(leftTimeCol))
       .withColumn("graft_side", lit(1))
+    // a null right time cannot match any left row under `rightTime <=
+    // leftTime`, but NULLS FIRST ordering would sort it before every
+    // real row and carry its payload forward — drop such rows up front
     val r = right
+      .filter(col(rightTimeCol).isNotNull)
       .withColumn("graft_t", col(rightTimeCol))
       .withColumn("graft_side", lit(0))
       .withColumn("graft_payload", struct(payload.map(col): _*))

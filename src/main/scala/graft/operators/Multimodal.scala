@@ -39,17 +39,21 @@ object Multimodal {
         (lit(64) + pmod(col(idCol), lit(12)) * 32).cast("long").as("height")))
 
   /** STUB decode/feature-extract: deterministic fake in place of a real
-    * codec. "Frame samples" are md5 digests of strided 16-char windows
-    * of the payload text (stride 64 ≈ frame sampling); `checksum` is
-    * the md5 of the raw payload bytes. Schema and batch shape match
-    * what a real decoder UDF would produce.
+    * codec. "Frame samples" are md5 digests of strided 16-BYTE windows
+    * of the raw payload (stride 64 ≈ frame sampling); `checksum` is
+    * the md5 of the raw payload bytes. Everything is derived from the
+    * payload BYTES — the same bytes [[decodeBatchedStub]] strides — so
+    * the two decode shapes are equivalent by construction for any
+    * input (ADVICE r3: the old char-strided form only agreed with the
+    * byte-strided batch path on single-byte text). Schema and batch
+    * shape match what a real decoder UDF would produce.
     */
-  def decodeStub(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+  def decodeStub(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("checksum", md5(col("payload")))
       .withColumn("frames", expr(
-        s"transform(sequence(1, greatest(length($textCol)-15, 1), 64)," +
-          s" i -> md5(substr($textCol, i, 16)))"))
+        "transform(sequence(1, greatest(octet_length(payload)-15, 1), 64)," +
+          " i -> md5(substring(payload, i, 16)))"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
       .withColumn("first_frame", element_at(col("frames"), 1))
 

@@ -21,11 +21,16 @@ object Multimodal {
       |  CAST(64 + (doc_id % 12) * 32 AS BIGINT) AS height,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS checksum,
-      |  CAST(len(generate_series(1, greatest(length(text)-15, 1), 64)) AS BIGINT) AS n_frames,
+      |  CAST(len(generate_series(1, greatest(octet_length(encode(text))-15, 1), 64)) AS BIGINT) AS n_frames,
       |  md5(substr(text, 1, 16)) AS first_frame
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { t =>
-    M.decodeStub(M.withPayload(t.documents, "text", "doc_id"), "text")
+    // the Spark side strides payload BYTES; the oracle's substr is
+    // char-based (DuckDB cannot slice BLOBs) — identical because the
+    // corpus is ASCII (verified: octet_length(encode(text)) = length(text)
+    // for every doc at every SF); the spec pins byte/char equivalence
+    // structurally via the batched path on multibyte crafted docs
+    M.decodeStub(M.withPayload(t.documents, "text", "doc_id"))
       .select(col("doc_id"),
         col("meta.format").as("format"),
         col("meta.width").as("width"),
