@@ -8,6 +8,7 @@ object Registry {
       graft.queries.Grouping.all ++
       graft.queries.Joins.all ++
       graft.queries.Funnel.all ++
+      graft.queries.Churn.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++
