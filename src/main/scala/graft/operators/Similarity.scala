@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 import graft.functions.{vec, NearestCentroid}
 
 /** Approximate-similarity operators over embedding columns
@@ -67,6 +68,50 @@ object Similarity {
       .join(slim.select(col("graft_id").as("vec_b"), col("graft_v").as("v_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"), vec.cosim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** Lloyd (k-means) refinement of an IVF centroid set, as pure
+    * DataFrame ops (VERDICT r3 #4): each iteration assigns every vector
+    * to its nearest current centroid via the zero-shuffle native argmax
+    * ([[assignToCentroids]]), then re-averages each cell
+    * dimension-wise. Cells that lose all members vanish (standard
+    * Lloyd); surviving cells keep their seed's id, so cell ids are
+    * stable and deterministic across runs.
+    *
+    * Scale shape: the re-average is posexplode → partial-aggregated
+    * sum/count per (cell, dim) — the map-side combine means the
+    * exchange carries ≤ |cells|·dim rows per input partition, exactly
+    * the classic MapReduce k-means step; the final per-cell array
+    * rebuild touches |cells| rows. Dimension means go through
+    * fixed-scale decimal sums so the trained centroids are
+    * bit-deterministic regardless of partitioning (same rule as
+    * [[graft.functions.det]]).
+    *
+    * Why train at all: modulo-sampled seeds follow the DATA
+    * distribution of single points, so on clustered real embeddings
+    * untrained cells are badly unbalanced — one hot cell absorbs a
+    * cluster and probing degenerates. Lloyd iterations move centroids
+    * toward local mass centers and equalize cell populations (skew
+    * bound pinned in AnnSpec).
+    */
+  def trainCentroids(vectors: DataFrame, seeds: DataFrame,
+      idCol: String, vCol: String, cidCol: String, cvCol: String,
+      iters: Int): DataFrame = {
+    val dec = DataTypes.createDecimalType(30, 15)
+    var cents = seeds.select(col(cidCol), col(cvCol))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vectors, cents, idCol, vCol, cidCol, cvCol)
+      cents = assigned
+        .select(col("cell"), posexplode(col(vCol)).as(Seq("graft_pos", "graft_x")))
+        .groupBy(col("cell"), col("graft_pos"))
+        .agg((sum(col("graft_x").cast(dec)) / count(lit(1))).cast("double").as("graft_mx"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("graft_pos"), col("graft_mx")))),
+          s => s.getField("graft_mx")).as(cvCol))
+        .select(col("cell").as(cidCol), col(cvCol))
+    }
+    cents
   }
 
   /** IVF cell assignment: nearest of the `centroids` by cosine. Returns
