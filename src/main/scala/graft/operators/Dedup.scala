@@ -101,7 +101,8 @@ object Dedup {
     */
   def minHashCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
       minBandMatches: Int = 1): DataFrame = {
-    val slim = sigs.select(col(idCol).as("graft_id"), col("minhash")).cache()
+    val slim = graft.CacheScope.trackedCache(
+      sigs.select(col(idCol).as("graft_id"), col("minhash")))
     val banded = slim.select(col("graft_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1})," +
@@ -138,7 +139,8 @@ object Dedup {
     * signature per doc through the shuffle.
     */
   def simHashCandidates(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val slim = df.select(col(idCol).as("graft_id"), col("simhash")).cache()
+    val slim = graft.CacheScope.trackedCache(
+      df.select(col(idCol).as("graft_id"), col("simhash")))
     val banded = slim.select(col("graft_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)"))

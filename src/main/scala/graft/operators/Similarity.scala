@@ -53,7 +53,8 @@ object Similarity {
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vCol: String,
       tables: Int, bitsPerTable: Int, minCosine: Double): DataFrame = {
-    val slim = vectors.select(col(idCol).as("graft_id"), col(vCol).as("graft_v")).cache()
+    val slim = graft.CacheScope.trackedCache(
+      vectors.select(col(idCol).as("graft_id"), col(vCol).as("graft_v")))
     val banded = explodeBuckets(
       withHyperplaneBuckets(slim, "graft_v", tables, bitsPerTable))
       .select(col("graft_id"), col("tbl"), col("bucket"))

@@ -31,9 +31,9 @@ object Ann {
     * use site).
     */
   private[graft] def vectors(t: Tables): DataFrame =
-    t.embeddings
-      .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
-      .cache()
+    graft.CacheScope.trackedCache(
+      t.embeddings
+        .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v")))
 
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -161,9 +161,8 @@ object Ann {
 
   val q52 = Q.rowsOnly("q52_centroid_ivf") { t =>
     val e = vectors(t)
-    val centroids = Similarity
-      .trainCentroids(e, ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
-      .cache()
+    val centroids = graft.CacheScope.trackedCache(Similarity
+      .trainCentroids(e, ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2))
     ivfTopK(e, centroids)
   }
 

@@ -9,6 +9,18 @@ class OperatorsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("CacheScope.withCacheScope releases every graft cache created inside") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.withCacheScope {
+      run("q41_dedup_minhash").count() // caches the slim signature frame
+      run("q51_ann_lsh").count()       // caches the double-vector frame
+      assert(spark.sparkContext.getPersistentRDDs.size > before.size,
+        "expected live graft caches inside the scope")
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"graft caches leaked past the scope: $leaked")
+  }
+
   test("Sessionize.byGap: session breaks exactly at gap > threshold") {
     import scala.jdk.CollectionConverters._
     val schema = "user LONG, ts TIMESTAMP, id LONG"
