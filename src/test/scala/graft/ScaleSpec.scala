@@ -20,6 +20,46 @@ import graft.operators.{Dedup => D}
   */
 class ScaleSpec extends SparkSpec {
 
+  test("q51 LSH candidates: bits-per-table knob bounds per-query volume as the corpus grows") {
+    import graft.operators.Similarity
+    import graft.functions.vec
+    def cands(dir: String, bits: Int): (Long, Long, Long) = {
+      val t = Tables(spark, dir)
+      val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+      val bucketed = Similarity.explodeBuckets(
+        Similarity.withHyperplaneBuckets(e, "v", tables = 8, bitsPerTable = bits))
+        .select(col("vec_id"), col("tbl"), col("bucket"))
+      val qs = bucketed.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val c = qs.join(bucketed, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct().count()
+      (e.count(), e.filter(pmod(col("vec_id"), lit(50)) === 0).count(), c)
+    }
+    val (n1, q1, c1) = cands("/root/testdata/sf0.001", bits = 4)
+    // the embeddings table scales 4x (500 -> 2000) between these SFs;
+    // grow bits by ceil(log2(ratio)) = 2, the §5 rule, for the knobbed run
+    val (n2, q2, c2) = cands("/root/testdata/sf0.1", bits = 4)
+    val (_, _, c2k) = cands("/root/testdata/sf0.1", bits = 6)
+    val ratio = n2.toDouble / n1
+    assert(ratio >= 4.0, "testdata shape changed; expected >=4x embeddings jump")
+    val per1 = c1.toDouble / q1
+    val per2 = c2.toDouble / q2
+    val per2k = c2k.toDouble / q2
+    info(f"candidates/query: $per1%.1f @ $n1 vecs (4 bits) -> " +
+      f"$per2%.1f @ $n2 vecs (4 bits) -> $per2k%.1f @ $n2 vecs (6 bits)")
+    // with bits FIXED, each bucket holds n/2^bits vectors, so per-query
+    // candidate volume grows ~linearly with the corpus — this is WHY §5
+    // says bits-per-table must grow with log(n)...
+    assert(per2 >= 0.5 * ratio * per1,
+      f"expected ~${ratio}x growth at fixed bits, got $per1%.1f -> $per2%.1f")
+    // ...and growing bits by log2(ratio) brings per-query candidates
+    // back to the small-corpus level: the expensive exact-scoring
+    // stage is BOUNDED by the knob, measured not asserted
+    assert(per2k <= 2.5 * per1,
+      f"knobbed per-query volume $per2k%.1f not bounded vs $per1%.1f @ the smaller corpus")
+  }
+
   test("minhash exact-verify volume grows ~linearly over a 10x corpus jump") {
     def measure(dir: String): (Long, Long) = {
       val docs = Tables(spark, dir).documents
