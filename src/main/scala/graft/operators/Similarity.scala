@@ -79,12 +79,17 @@ object Similarity {
     * Lloyd); surviving cells keep their seed's id, so cell ids are
     * stable and deterministic across runs.
     *
-    * Scale shape: the re-average is posexplode → partial-aggregated
-    * sum/count per (cell, dim) — the map-side combine means the
-    * exchange carries ≤ |cells|·dim rows per input partition, exactly
-    * the classic MapReduce k-means step; the final per-cell array
-    * rebuild touches |cells| rows. Dimension means go through
-    * fixed-scale decimal sums so the trained centroids are
+    * Scale shape — the canonical distributed-k-means split (same as
+    * Spark MLlib's KMeans): per iteration, the DATA-sized work is one
+    * distributed pass (native argmax assignment + posexplode →
+    * partial-aggregated mean per (cell, dim), so the exchange carries
+    * ≤ |cells|·dim rows per input partition), and only the RESULT —
+    * |cells|·dim doubles, the centroids themselves — comes to the
+    * driver, to be fed back as a literal local relation for the next
+    * iteration. The corpus never leaves the executors; keeping the
+    * centroid state lazy instead would nest one full corpus lineage
+    * per iteration into every downstream consumer. Dimension means go
+    * through fixed-scale decimal sums so the trained centroids are
     * bit-deterministic regardless of partitioning (same rule as
     * [[graft.functions.det]]).
     *
@@ -98,19 +103,22 @@ object Similarity {
   def trainCentroids(vectors: DataFrame, seeds: DataFrame,
       idCol: String, vCol: String, cidCol: String, cvCol: String,
       iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val dec = DataTypes.createDecimalType(30, 15)
     var cents = seeds.select(col(cidCol), col(cvCol))
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(vectors, cents, idCol, vCol, cidCol, cvCol)
-      cents = assigned
+      val stats = assigned
         .select(col("cell"), posexplode(col(vCol)).as(Seq("graft_pos", "graft_x")))
         .groupBy(col("cell"), col("graft_pos"))
         .agg((sum(col("graft_x").cast(dec)) / count(lit(1))).cast("double").as("graft_mx"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("graft_pos"), col("graft_mx")))),
-          s => s.getField("graft_mx")).as(cvCol))
-        .select(col("cell").as(cidCol), col(cvCol))
+        .collect() // |cells|·dim rows — centroid state only, never data
+      val next = stats
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, dims) => (cid, dims.sortBy(_._2).map(_._3)) }
+      cents = next.toDF(cidCol, cvCol)
     }
     cents
   }

@@ -113,24 +113,6 @@ object Ann {
     rankTopK(scored, 10)
   }
 
-  /** q52: IVF — Lloyd-train the centroid set from modulo-sampled seeds
-    * (2 iterations of [[Similarity.trainCentroids]] — VERDICT r3 #4:
-    * untrained seeds follow the point distribution, so clustered real
-    * embeddings get hot cells; trained centroids equalize cell
-    * populations, skew bound pinned in AnnSpec), assign every vector to
-    * its nearest centroid, probe the 5 cells nearest each query, exact
-    * rank within the probed cells. Rows-only; recall vs q50 asserted in
-    * AnnSpec (trained ≥ untrained).
-    *
-    * Scale shape (the r2 fix): cell assignment is the zero-shuffle
-    * native argmax over the one-row broadcast centroid array
-    * ([[Similarity.assignToCentroids]]); the probe list (|queries|×5
-    * rows) is broadcast onto the assigned frame, so the big side never
-    * shuffles before the top-k window — and that window's input is
-    * (query_id, vec_id, cos) only. The trained centroid frame (|cells|
-    * rows) is cached so the corpus assignment and the probe list don't
-    * re-run the Lloyd lineage.
-    */
   /** Modulo-sampled IVF seed centroids (the untrained baseline). */
   private[graft] def ivfSeeds(e: DataFrame): DataFrame =
     e.filter(pmod(col("vec_id"), lit(25)) === 0)
@@ -159,10 +141,29 @@ object Ann {
     rankTopK(scored, 10)
   }
 
+  /** q52: IVF — Lloyd-train the centroid set from modulo-sampled seeds
+    * (2 iterations of [[Similarity.trainCentroids]] — VERDICT r3 #4:
+    * untrained seeds follow the point distribution, so clustered real
+    * embeddings get hot cells; trained centroids equalize cell
+    * populations, skew bound pinned in AnnSpec), assign every vector to
+    * its nearest centroid, probe the 5 cells nearest each query, exact
+    * rank within the probed cells. Rows-only; recall vs q50 asserted in
+    * AnnSpec (trained ≥ untrained).
+    *
+    * Scale shape (the r2 fix): cell assignment is the zero-shuffle
+    * native argmax over the one-row broadcast centroid array
+    * ([[Similarity.assignToCentroids]]); the probe list (|queries|×5
+    * rows) is broadcast onto the assigned frame, so the big side never
+    * shuffles before the top-k window — and that window's input is
+    * (query_id, vec_id, cos) only. The trained centroid frame is a
+    * literal local relation (trainCentroids materializes the k·d
+    * centroid values per iteration, MLlib-style), so the corpus
+    * assignment and the probe list replay no Lloyd lineage.
+    */
   val q52 = Q.rowsOnly("q52_centroid_ivf") { t =>
     val e = vectors(t)
-    val centroids = graft.CacheScope.trackedCache(Similarity
-      .trainCentroids(e, ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2))
+    val centroids = Similarity
+      .trainCentroids(e, ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
     ivfTopK(e, centroids)
   }
 
