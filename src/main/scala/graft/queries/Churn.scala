@@ -108,7 +108,7 @@ object Churn {
         |  round(CAST(SUM(unique_priorities) AS DOUBLE) / COUNT(*), 4) AS avg_unique_priorities
         |FROM scored
         |GROUP BY subscription_type, region, engagement_segment
-        |HAVING COUNT(*) >= 10
+        |HAVING COUNT(*) >= 3
         |ORDER BY subscription_type, region, avg_risk_score DESC, engagement_segment""".stripMargin) { t =>
       val recent = col("o_orderdate") > lit(ts(recentStart))
       val met = t.orders
@@ -170,7 +170,7 @@ object Churn {
           round(dsum(col("avg_spend")) / count(col("avg_spend")), 4).as("avg_spend"),
           round(sum(col("unique_priorities")).cast("double") / count(lit(1)), 4)
             .as("avg_unique_priorities"))
-        .filter(col("user_count") >= 10)
+        .filter(col("user_count") >= 3)
         .orderBy(col("subscription_type"), col("region"),
           col("avg_risk_score").desc, col("engagement_segment"))
     }
