@@ -33,6 +33,19 @@ class RelationalSpec extends SparkSpec {
     assert(planOf(run("q08_topk_per_group")).contains("WindowGroupLimit"))
   }
 
+  test("q39: the asOf parameter re-derives the pushed scan window at plan time") {
+    // default registration pins 2000-12-31 -> hist window opens 1999-01-01;
+    // a user-supplied asOf must re-plan the pushed literals, not share them
+    val p = planOf(graft.queries.Churn.q39For("1999-06-30").run(spark, sfDir))
+    assert(p.contains("1997-07-01") || p.contains("1997-06-30"),
+      s"re-parameterized hist-window literal not pushed to the scan")
+    assert(!p.contains("1999-01-01"),
+      "plan still carries the default asOf's window literal")
+    val pDefault = planOf(run("q39_churn_composition"))
+    assert(pDefault.contains("1999-01-01"),
+      "default asOf window literal missing from the pushed filters")
+  }
+
   test("q27: aggregation is two-phase (partial before the exchange)") {
     val p = planOf(run("q27_bucketed_groupby"))
     assert(p.contains("partial_count") || p.contains("Partial"),
