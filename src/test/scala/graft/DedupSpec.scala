@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(fused == twoStep)
   }
 
+  test("jaccardVerify (shingle arrays) equals textJaccardVerify (in-place sets)") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents.limit(60)
+    val pairs = docs.select(col("doc_id").as("doc_a"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b") && col("doc_b") - col("doc_a") <= 3)
+    val viaArrays = graft.operators.Dedup.jaccardVerify(
+      pairs, graft.operators.Dedup.withShingles(docs, "text", 5), "doc_id")
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaText = graft.operators.Dedup.textJaccardVerify(pairs, docs, "doc_id", "text", 5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaArrays.nonEmpty && viaArrays == viaText)
+  }
+
   test("q44 embedding LSH recall >= 0.7 vs brute-force cosine pairs") {
     val e = tables.embeddings
       .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))

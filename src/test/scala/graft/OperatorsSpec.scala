@@ -10,6 +10,10 @@ class OperatorsSpec extends SparkSpec {
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("CacheScope.withCacheScope releases every graft cache created inside") {
+    // start clean of graft caches: a prior suite's plan-identical cache
+    // would otherwise be reused by the CacheManager and no NEW
+    // persistent RDD would appear inside the scope
+    CacheScope.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     CacheScope.withCacheScope {
       run("q41_dedup_minhash").count() // caches the slim signature frame
@@ -19,6 +23,11 @@ class OperatorsSpec extends SparkSpec {
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"graft caches leaked past the scope: $leaked")
+    // the session-wide sweep works outside any scope too
+    run("q42_dedup_simhash").count()
+    CacheScope.releaseAll()
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.isEmpty, s"releaseAll left graft caches: $leftover")
   }
 
   test("Sessionize.byGap: session breaks exactly at gap > threshold") {
