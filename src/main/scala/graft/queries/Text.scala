@@ -190,19 +190,19 @@ object Text {
       |FROM counts c JOIN tot USING (source)
       |WHERE c.n_occurrences > n_tok / 33.0
       |ORDER BY c.source, c.token""".stripMargin) { t =>
-    val spark = t.documents.sparkSession
-    import spark.implicits._
     // deliberately NOT cached: three consumers re-derive the tokens,
     // but the codegen'd scan+explode is cheaper than materializing the
     // exploded rows (measured: caching costs ~20% here)
     val tokens = t.documents
       .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
     val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
-    val mg = new graft.functions.FrequentItems(32)
-    val cands = tokens.as[(String, String)]
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(mg.toColumn.name("freq"))
-      .toDF("source", "freq")
+    // the MG Aggregator runs as a UDAF in a plain relational groupBy:
+    // the typed groupByKey path planned a non-codegen AppendColumns
+    // (per-row lambda + serializer) over every token row just to name
+    // the grouping key the frame already has as a column
+    val mg = udaf(new graft.functions.FrequentItems(32),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = tokens.groupBy(col("source")).agg(mg(col("token")).as("freq"))
       .select(col("source"), explode(map_keys(col("freq"))).as("token"))
     tokens
       .join(broadcast(cands), Seq("source", "token"))
