@@ -32,21 +32,42 @@ object CacheScope {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  // Scope membership is tracked per THREAD and by IDENTITY, never by
+  // registry index: the registry compacts itself whenever entries go
+  // dead (spark.catalog.clearCache(), manual unpersist), so an index
+  // mark taken at scope entry can point past entries created inside the
+  // scope — and a concurrent thread's caches must not be swept up by
+  // this thread's scope exit.
+  private val scopes =
+    ThreadLocal.withInitial[List[scala.collection.mutable.ArrayBuffer[DataFrame]]](() => Nil)
+
   /** Cache `df` and register it for scope/`releaseAll` cleanup. */
-  private[graft] def trackedCache(df: DataFrame): DataFrame = synchronized {
-    // drop entries a scope (or a manual unpersist) already released
-    tracked.filterInPlace(_.storageLevel != StorageLevel.NONE)
-    tracked += df.cache()
+  private[graft] def trackedCache(df: DataFrame): DataFrame = {
+    df.cache()
+    synchronized {
+      // drop entries a scope (or a manual unpersist) already released
+      tracked.filterInPlace(_.storageLevel != StorageLevel.NONE)
+      tracked += df
+    }
+    scopes.get() match {
+      case innermost :: _ => innermost += df
+      case Nil =>
+    }
     df
   }
 
-  /** Run `body`; on exit unpersist every graft cache created inside. */
+  /** Run `body`; on exit unpersist every graft cache created inside —
+    * exactly the frames this thread's `trackedCache` calls recorded,
+    * regardless of what the shared registry did meanwhile.
+    */
   def withCacheScope[T](body: => T): T = {
-    val mark = synchronized(tracked.length)
+    val mine = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scopes.set(mine :: scopes.get())
     try body
-    finally synchronized {
-      tracked.drop(mark).foreach(_.unpersist(blocking = false))
-      tracked.remove(mark, tracked.length - mark)
+    finally {
+      scopes.set(scopes.get().tail)
+      mine.foreach(_.unpersist(blocking = false))
+      synchronized { tracked.filterInPlace(f => !mine.exists(_ eq f)) }
     }
   }
 

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** string → struct of the eight text-analysis counts the corpus
-  * pipeline needs (q30/q31/q32/q38), computed in ONE pass over the
+/** string → struct of the seven text-analysis counts the corpus
+  * pipeline needs (q30/q31/q32/q38) — n_ws_tokens, n_bpe_tokens,
+  * n_punct, en/de/es/fr_hits — computed in ONE pass over the
   * string's bytes:
   *
   *   - `n_ws_tokens`  — matches of `\S+` (maximal non-whitespace runs)

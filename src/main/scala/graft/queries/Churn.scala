@@ -36,6 +36,13 @@ import graft.functions.det._
   * subscription_type→c_mktsegment, country→region name,
   * viewing_history→orders, completion_percentage→o_totalprice,
   * content variety→o_orderpriority, device_type→o_orderstatus.
+  *
+  * Risk bands mirror the reference's edges exactly (high `> 0.7`,
+  * medium `BETWEEN 0.4 AND 0.7` over a 0–1 score → high `> 7`, medium
+  * `BETWEEN 4 AND 7` over the 0–10 integer points): a score of exactly
+  * 0.7 ≙ 7 pts is MEDIUM, matching the reference's boundary — the
+  * integer points avoid its 0.4+0.3 float-sum fuzziness without
+  * shifting any band edge.
   */
 object Churn {
 
@@ -99,8 +106,8 @@ object Churn {
         |SELECT subscription_type, region, engagement_segment,
         |  COUNT(*) AS user_count,
         |  round(CAST(SUM(risk_pts) AS DOUBLE) / COUNT(*) / 10, 4) AS avg_risk_score,
-        |  CAST(SUM(CASE WHEN risk_pts >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS high_risk_users,
-        |  CAST(SUM(CASE WHEN risk_pts BETWEEN 4 AND 6 THEN 1 ELSE 0 END) AS BIGINT) AS medium_risk_users,
+        |  CAST(SUM(CASE WHEN risk_pts > 7 THEN 1 ELSE 0 END) AS BIGINT) AS high_risk_users,
+        |  CAST(SUM(CASE WHEN risk_pts BETWEEN 4 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS medium_risk_users,
         |  CAST(SUM(CASE WHEN risk_pts < 4 THEN 1 ELSE 0 END) AS BIGINT) AS low_risk_users,
         |  round(CAST(SUM(recent_orders) AS DOUBLE) / COUNT(*), 4) AS avg_recent_orders,
         |  round(CAST(SUM(historical_orders) AS DOUBLE) / COUNT(*), 4) AS avg_historical_orders,
@@ -160,8 +167,8 @@ object Churn {
           count(lit(1)).as("user_count"),
           round(sum(col("risk_pts")).cast("double") / count(lit(1)) / 10, 4)
             .as("avg_risk_score"),
-          sum(when(col("risk_pts") >= 7, 1).otherwise(0)).as("high_risk_users"),
-          sum(when(col("risk_pts").between(4, 6), 1).otherwise(0)).as("medium_risk_users"),
+          sum(when(col("risk_pts") > 7, 1).otherwise(0)).as("high_risk_users"),
+          sum(when(col("risk_pts").between(4, 7), 1).otherwise(0)).as("medium_risk_users"),
           sum(when(col("risk_pts") < 4, 1).otherwise(0)).as("low_risk_users"),
           round(sum(col("recent_orders")).cast("double") / count(lit(1)), 4)
             .as("avg_recent_orders"),

@@ -218,7 +218,7 @@ object Text {
     * their whole pipeline" query: language gate (q32's profile) →
     * quality gate (q31's score ≥ 0.5) → exact dedup survivors (q40's
     * operator, lowest doc_id per content hash) → per-source doc count,
-    * token budget and mean quality. All eight per-row counts come from
+    * token budget and mean quality. All seven per-row counts come from
     * ONE [[graft.functions.TextProfile]] pass, so even where Catalyst
     * pushes the gate predicates below the projection the duplicated
     * references are single fused walks (collapsed further by codegen
