@@ -123,6 +123,38 @@ object Dedup {
         graft.functions.sketch.sigAgreement(col("mh_a"), col("mh_b")).as("est_jaccard"))
   }
 
+  /** The complete verified near-dup pair pipeline (q43/q45 shape):
+    * text → in-place MinHash signatures → banded LSH candidates →
+    * signature-agreement prefilter → exact n-gram Jaccard verify.
+    * Returns (doc_a, doc_b, jaccard) for every pair with jaccard ≥
+    * `minJaccard` — exactly the brute-force O(n²) answer (the 16×4
+    * banding has P(miss | j=0.8) ≈ 2e-4, ~0 at the ≥0.95 jaccard real
+    * near-dups carry), computed with bucket-join + per-candidate cost.
+    * The est-jaccard prefilter at `minJaccard - 0.2` keeps recall
+    * (for j ≥ minJaccard the 64-hash estimate is below that bound with
+    * P ≈ 3e-5) while killing random band collisions before the
+    * expensive exact set intersection.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val sigs = withMinHashFromText(docs, textCol, n, numHashes = 64)
+    val candidates = minHashCandidates(sigs, idCol, bands = 16, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= minJaccard - 0.2)
+    textJaccardVerify(candidates.select(col("doc_a"), col("doc_b")),
+      docs, idCol, textCol, n)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Near-dup resolution end to end: pairs → connected components →
+    * lowest-id survivor per component ([[Components]]). Returns the
+    * deduped corpus — the operation that actually SHRINKS a training
+    * corpus, where the pair surfaces only report.
+    */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minJaccard: Double = 0.8): DataFrame =
+    Components.keepSurvivors(docs, idCol,
+      Components.label(nearDupPairs(docs, idCol, textCol, n, minJaccard), "doc_a", "doc_b"))
+
   /** Adds `simhash`: 64-bit SimHash over whitespace tokens — bit b set
     * when the signed sum of token-hash bit b is non-negative, via the
     * native [[graft.functions.SimHash64]] expression (one primitive

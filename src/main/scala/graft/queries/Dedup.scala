@@ -93,15 +93,7 @@ object Dedup {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin) { t =>
-    val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 64)
-    val candidates = D.minHashCandidates(sigs, "doc_id", bands = 16, rowsPerBand = 4)
-      // signature-agreement prefilter: a j>=0.8 pair has est ~ Bin(64,j)/64,
-      // P(est < 0.6) ~ 3e-5 — kills the random-collision candidates before
-      // the expensive exact set intersection
-      .filter(col("est_jaccard") >= 0.6)
-    D.textJaccardVerify(candidates.select(col("doc_a"), col("doc_b")),
-      t.documents, "doc_id", "text", n = 5)
-      .filter(col("jaccard") >= 0.8)
+    D.nearDupPairs(t.documents, "doc_id", "text", n = 5, minJaccard = 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -112,6 +104,62 @@ object Dedup {
     * verify ≥ 0.4. Rows-only — approximate by design; DedupSpec
     * measures recall vs brute force.
     */
+  /** q45: near-dup cluster RESOLUTION — the step that actually shrinks
+    * a corpus (every LSH surface above stops at pairs). jaccard ≥ 0.8
+    * pairs (q43's exact-verified set) → connected components via
+    * [[graft.operators.Components]] min-label propagation with pointer
+    * jumping → lowest-id survivor per component → per-source input /
+    * kept / dropped counts. The oracle recomputes the same components
+    * in DuckDB with a WITH RECURSIVE transitive closure over the
+    * brute-force pair set, so the distributed O(log diameter) loop is
+    * gated against an exact sequential ground truth.
+    */
+  val q45 = Q.of(
+    "q45_dedup_resolve",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1), 1),
+      |                                 i -> substr(text, i, 5))) AS s
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |), walk(id, reach) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+      |), comp AS (
+      |  SELECT id AS doc_id, MIN(reach) AS mn FROM walk GROUP BY id
+      |), lab AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN c.mn IS NULL OR d.doc_id < c.mn THEN d.doc_id ELSE c.mn END AS component
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)
+      |)
+      |SELECT source, COUNT(*) AS n_input,
+      |  CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM lab GROUP BY source
+      |ORDER BY source""".stripMargin) { t =>
+    import graft.operators.Components
+    val pairs = D.nearDupPairs(t.documents, "doc_id", "text", n = 5, minJaccard = 0.8)
+    val labels = Components.label(pairs, "doc_a", "doc_b")
+    t.documents.select(col("doc_id"), col("source"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("doc_id") === col("component"), 1).otherwise(0)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("component"), 1).otherwise(0)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
   val q44 = Q.rowsOnly("q44_dedup_embedding") { t =>
     val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
     Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 16, bitsPerTable = 4, minCosine = 0.4)
@@ -119,5 +167,5 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  def all: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+  def all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45)
 }

@@ -257,8 +257,17 @@ object Text {
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  round(CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS mean_quality
       |FROM surv GROUP BY source
-      |ORDER BY source""".stripMargin) { t =>
-    import graft.functions.det._
+      |ORDER BY source""".stripMargin) { t => corpusPipeline(t, nearDupJaccard = None) }
+
+  /** The corpus-curation survivors BEFORE the per-source aggregate:
+    * language gate → quality gate → exact dedup (q38's stages), plus —
+    * when `nearDupJaccard` is set — the near-dup resolution stage
+    * (q45's operator: jaccard-pair LSH → connected components →
+    * lowest-id survivor). The registered q38 runs with the stage off
+    * so its oracle stays purely relational; TextSpec proves the staged
+    * form drops exactly the non-survivor near-dup members on top.
+    */
+  private[graft] def curatedSurvivors(t: Tables, nearDupJaccard: Option[Double]): org.apache.spark.sql.DataFrame = {
     import graft.operators.{Dedup => D}
     val p = TextProfile(col("text"))
     val scored = t.documents.select(
@@ -280,7 +289,14 @@ object Text {
           (lit(1.0) - col("punct_ratio")) * 0.3 +
           least(lit(1.0), col("stop_ratio") * 5.0) * 0.2, 4))
       .filter(col("quality") >= 0.5)
-    D.exactByContent(kept, "text", "doc_id")
+    val exact = D.exactByContent(kept, "text", "doc_id")
+    nearDupJaccard.fold(exact)(j => D.dropNearDups(exact, "doc_id", "text", n = 5, minJaccard = j))
+  }
+
+  /** q38's full plan with the optional near-dup stage exposed. */
+  def corpusPipeline(t: Tables, nearDupJaccard: Option[Double]): org.apache.spark.sql.DataFrame = {
+    import graft.functions.det._
+    curatedSurvivors(t, nearDupJaccard)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -69,6 +69,51 @@ class DedupSpec extends SparkSpec {
     assert(viaArrays.nonEmpty && viaArrays == viaText)
   }
 
+  test("Components.label matches a sequential union-find on the q43 pair graph") {
+    import graft.operators.Components
+    val pairs = run("q43_dedup_ngram_jaccard").select("doc_a", "doc_b")
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sequential ground truth: path-compressed union-find, min-id root
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toMap
+    val got = Components.label(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
+  test("dropNearDups keeps exactly one survivor per component plus all isolated docs") {
+    import graft.operators.{Components, Dedup => D}
+    val docs = tables.documents
+    val pairs = D.nearDupPairs(docs, "doc_id", "text")
+    val members = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val components = Components.label(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = D.dropNearDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // isolated docs all survive
+    assert((all -- members).subsetOf(kept))
+    // exactly the component minima survive among members
+    val minima = components.values.toSet
+    assert((kept & members) == minima)
+    // and the corpus actually shrank
+    assert(kept.size == all.size - members.size + minima.size)
+    assert(members.size > minima.size, "fixture has no multi-member components")
+    spark.catalog.clearCache()
+  }
+
   test("q44 embedding LSH recall >= 0.7 vs brute-force cosine pairs") {
     val e = tables.embeddings
       .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))

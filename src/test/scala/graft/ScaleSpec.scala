@@ -60,6 +60,35 @@ class ScaleSpec extends SparkSpec {
       f"knobbed per-query volume $per2k%.1f not bounded vs $per1%.1f @ the smaller corpus")
   }
 
+  test("Components rounds grow with component diameter, not pair volume") {
+    import graft.operators.Components
+    import spark.implicits._
+    def roundsOf(pairs: Seq[(Long, Long)]): Int = {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val (labels, rounds) = Components.labelWithStats(df, "doc_a", "doc_b")
+      labels.count() // materialize before the cache is dropped
+      spark.catalog.clearCache()
+      rounds
+    }
+    // volume axis: disjoint pairs (diameter 1) at 10x the count — the
+    // round count must NOT move (1 propagation round + 1 to observe
+    // the fixpoint)
+    val small = roundsOf((0L until 200L).map(i => (2 * i, 2 * i + 1)))
+    val large = roundsOf((0L until 2000L).map(i => (2 * i, 2 * i + 1)))
+    info(s"disjoint pairs: $small rounds @ 200 pairs, $large rounds @ 2000 pairs")
+    assert(small == large, "round count moved with pair volume")
+    assert(small <= 2)
+    // diameter axis: a 64-node path. Plain min propagation needs ~63
+    // rounds; pointer jumping must close it in O(log n) — and doubling
+    // the diameter may add at most ~1 round
+    val chain64 = roundsOf((0L until 63L).map(i => (i, i + 1)))
+    val chain128 = roundsOf((0L until 127L).map(i => (i, i + 1)))
+    info(s"path graph: $chain64 rounds @ diameter 63, $chain128 rounds @ diameter 127")
+    assert(chain64 > small, "diameter had no effect — fixture broken")
+    assert(chain64 <= 8, s"chain-64 took $chain64 rounds; pointer jumping not effective")
+    assert(chain128 <= chain64 + 2, "rounds not logarithmic in diameter")
+  }
+
   test("minhash exact-verify volume grows ~linearly over a 10x corpus jump") {
     def measure(dir: String): (Long, Long) = {
       val docs = Tables(spark, dir).documents

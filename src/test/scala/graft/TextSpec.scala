@@ -87,6 +87,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q38 optional near-dup stage drops exactly the non-survivor members") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Components, Dedup => D}
+    val gated = graft.queries.Text.curatedSurvivors(tables, None)
+    val pairs = D.nearDupPairs(gated, "doc_id", "text")
+    val nonSurvivors = Components.label(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("label")).collect().map(_.getLong(0)).toSet
+    assert(nonSurvivors.nonEmpty,
+      "fixture sanity: no near-dup pairs survive the gates — stage untestable")
+    val offIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val onIds = graft.queries.Text.curatedSurvivors(tables, Some(0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onIds == offIds -- nonSurvivors)
+    // and the registered q38 aggregate is exactly the stage-off form
+    val agg = graft.queries.Text.corpusPipeline(tables, Some(0.8))
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+    assert(agg == onIds.size)
+    spark.catalog.clearCache()
+  }
+
   test("q33 fingerprint: near-identical docs share shingle_fp far more than random") {
     val fp = run("q33_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
