@@ -9,6 +9,7 @@ object Registry {
       graft.queries.Joins.all ++
       graft.queries.Funnel.all ++
       graft.queries.Churn.all ++
+      graft.queries.Engagement.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -46,6 +46,26 @@ class RelationalSpec extends SparkSpec {
       "default asOf window literal missing from the pushed filters")
   }
 
+  test("q46: one events exchange, dims broadcast, asOf re-plans the window literals") {
+    val df = run("q46_engagement_funnel")
+    df.collect() // finalize AQE so the real exchanges/joins are visible
+    val p = planOf(df)
+    assert(p.contains("In(event_type"), "event-type filter not pushed to the events scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a join degraded to SortMergeJoin")
+    // the signup window min and the per-user aggregate must share ONE
+    // exchange on user_id (q20's cascade shape) — the fact is never
+    // re-shuffled or self-joined for the four reference LEFT JOINs
+    val userExchanges = shuffles(df)
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges:\n$p")
+    // re-parameterization: a new asOf re-derives the plan-time literals
+    val p2 = planOf(graft.queries.Engagement.q46For(AsOf("2024-01-15"), 7).run(spark, sfDir))
+    assert(p2.contains("2024-01-15") && p2.contains("2024-01-08"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("q27: aggregation is two-phase (partial before the exchange)") {
     val p = planOf(run("q27_bucketed_groupby"))
     assert(p.contains("partial_count") || p.contains("Partial"),
