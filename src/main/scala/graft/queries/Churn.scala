@@ -5,6 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
+import graft.Dims.dimBroadcast
 
 /** q39: one complete reference analysis end-to-end — Churn Prediction
   * and Risk Analysis (/root/reference/SQL/Churn Prediction and Risk
@@ -132,8 +133,8 @@ object Churn {
           (dsum(col("o_totalprice")) / count(lit(1))).as("avg_spend"))
       val cust = t.customer
         .filter(col("c_acctbal") >= 0)
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(dimBroadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("c_mktsegment").as("subscription_type"),
           col("r_name").as("region"))
       val base = cust

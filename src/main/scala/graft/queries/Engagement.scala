@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{AsOf, Q, Tables}
 import graft.functions.det._
+import graft.Dims.dimBroadcast
 
 /** q46: the second full reference analysis end-to-end — User
   * Engagement Funnel Analysis (/root/reference/SQL/User Engagement
@@ -120,8 +121,8 @@ object Engagement {
           count(when(postBuy, 1)).as("purchases"))
         .filter(col("signup_ts") >= start.tsLit)
       val cust = t.customer
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(dimBroadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("c_mktsegment").as("subscription_type"),
           col("r_name").as("region"))
       val seg = met.join(cust, col("user_id") === col("c_custkey"))

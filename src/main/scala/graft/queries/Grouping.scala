@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
+import graft.Dims.dimBroadcast
 
 /** Grouping-sets / pivot / statistics queries (SURVEY.md §2 q11–q14,
   * q23, q25, q27).
@@ -86,7 +87,7 @@ object Grouping {
       |GROUP BY CUBE(c_mktsegment, n_name)
       |ORDER BY segment, nation""".stripMargin) { t =>
     t.customer
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .cube(col("c_mktsegment"), col("n_name"))
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
       .select(
@@ -119,8 +120,8 @@ object Grouping {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin) { t =>
     val wide = t.orders
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(dimBroadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .pivot("o_orderpriority", priorities)
       .agg(dsum(col("o_totalprice")))

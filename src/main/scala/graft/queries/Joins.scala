@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
+import graft.Dims.dimBroadcast
 import graft.operators.{AsofJoin, RangeJoin, SkewJoin}
 
 /** Join-shape queries (SURVEY.md §2 q15–q18, q22, q26).
@@ -86,7 +87,7 @@ object Joins {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin) { t =>
     t.customer
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
         array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),

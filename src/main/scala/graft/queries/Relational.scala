@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
+import graft.Dims.dimBroadcast
 
 /** Relational core (SURVEY.md §2 q01–q28), re-expressing the query
   * shapes of the reference's 20 analyses (multi-table star joins,
@@ -62,8 +63,8 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin) { t =>
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(dimBroadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(dimBroadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
@@ -95,8 +96,8 @@ object Relational {
     t.lineitem
       .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(dimBroadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(dimBroadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),

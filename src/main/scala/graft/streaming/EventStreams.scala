@@ -72,7 +72,7 @@ object EventStreams {
     */
   def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
     events
-      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(graft.Dims.dimBroadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
       .agg(

@@ -66,6 +66,35 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
+    // under the bound (every SF here): the hint is applied, so the
+    // star join broadcasts even with auto-broadcast disabled
+    assert(planOf(run("q14_pivot")).contains("BroadcastHashJoin"))
+    assert(planOf(Registry.byName("q14_pivot").run(spark, "/root/testdata/sf0.1"))
+      .contains("BroadcastHashJoin"), "hint missing at sf0.1 dim sizes")
+    // forced-large dims (bound of 1 byte ≈ an sf100 customer table):
+    // no hint; with runtime auto-broadcast also off, the join must
+    // degrade to a shuffle join and still produce the same answer
+    val expected = run("q14_pivot").collect().map(_.toString).sorted
+    val auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(Dims.confKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run("q14_pivot")
+      df.collect() // finalize AQE
+      val p = planOf(df)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"hint applied despite the 1-byte bound:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffle join in the degraded plan:\n$p")
+      assert(df.collect().map(_.toString).sorted.sameElements(expected),
+        "degraded plan changed the answer")
+    } finally {
+      spark.conf.unset(Dims.confKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+    }
+  }
+
   test("q27: aggregation is two-phase (partial before the exchange)") {
     val p = planOf(run("q27_bucketed_groupby"))
     assert(p.contains("partial_count") || p.contains("Partial"),
