@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.time.LocalDate
-
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.det._
@@ -52,26 +50,26 @@ object Churn {
     */
   val defaultAsOf = "2000-12-31"
 
-  def q39For(asOfStr: String): Q = {
-    val asOf = LocalDate.parse(asOfStr)
+  def q39For(asOfStr: String): Q = q39For(graft.AsOf(asOfStr))
+
+  def q39For(asOf: graft.AsOf): Q = {
     val recentStart = asOf.minusDays(365)
     val histStart = asOf.minusDays(730)
-    def ts(d: LocalDate) = java.sql.Timestamp.valueOf(d.atStartOfDay)
 
     Q.of(
       "q39_churn_composition",
       s"""WITH met AS (
         |  SELECT o_custkey,
-        |    COUNT(CASE WHEN o_orderdate > TIMESTAMP '$recentStart 00:00:00' THEN 1 END) AS recent_orders,
-        |    COUNT(CASE WHEN o_orderdate <= TIMESTAMP '$recentStart 00:00:00' THEN 1 END) AS historical_orders,
-        |    COUNT(DISTINCT CASE WHEN o_orderdate > TIMESTAMP '$recentStart 00:00:00'
+        |    COUNT(CASE WHEN o_orderdate > ${recentStart.sqlTs} THEN 1 END) AS recent_orders,
+        |    COUNT(CASE WHEN o_orderdate <= ${recentStart.sqlTs} THEN 1 END) AS historical_orders,
+        |    COUNT(DISTINCT CASE WHEN o_orderdate > ${recentStart.sqlTs}
         |                        THEN strftime(o_orderdate, '%Y-%m') END) AS active_months_recent,
         |    COUNT(DISTINCT o_orderpriority) AS unique_priorities,
         |    COUNT(DISTINCT o_orderstatus) AS unique_statuses,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS avg_spend
         |  FROM orders
-        |  WHERE o_orderdate > TIMESTAMP '$histStart 00:00:00'
-        |    AND o_orderdate <= TIMESTAMP '$asOf 00:00:00'
+        |  WHERE o_orderdate > ${histStart.sqlTs}
+        |    AND o_orderdate <= ${asOf.sqlTs}
         |  GROUP BY o_custkey
         |), base AS (
         |  SELECT c.c_mktsegment AS subscription_type, r.r_name AS region,
@@ -118,14 +116,14 @@ object Churn {
         |GROUP BY subscription_type, region, engagement_segment
         |HAVING COUNT(*) >= 3
         |ORDER BY subscription_type, region, avg_risk_score DESC, engagement_segment""".stripMargin) { t =>
-      val recent = col("o_orderdate") > lit(ts(recentStart))
+      val recent = col("o_orderdate") > recentStart.tsLit
       val met = t.orders
-        .filter(col("o_orderdate") > lit(ts(histStart)) &&
-          col("o_orderdate") <= lit(ts(asOf)))
+        .filter(col("o_orderdate") > histStart.tsLit &&
+          col("o_orderdate") <= asOf.tsLit)
         .groupBy(col("o_custkey"))
         .agg(
           count(when(recent, 1)).as("recent_orders"),
-          count(when(col("o_orderdate") <= lit(ts(recentStart)), 1)).as("historical_orders"),
+          count(when(col("o_orderdate") <= recentStart.tsLit, 1)).as("historical_orders"),
           countDistinct(when(recent, date_format(col("o_orderdate"), "yyyy-MM")))
             .as("active_months_recent"),
           countDistinct(col("o_orderpriority")).as("unique_priorities"),

@@ -21,29 +21,39 @@ import graft.operators.Sessionize
   */
 object Funnel {
 
-  /** q19: month cohorts — first-order month × activity month. Month
+  /** q19: month cohorts — first-order month × activity month, observed
+    * over an asOf-anchored window ([[graft.AsOf]]: the reference's
+    * `date_sub(current_date, N)` idiom as plan-time literals pushed to
+    * the orders scan; oracle generated from the same parameter). Month
     * buckets are formatted as strings on both engines so no timestamp
     * dtype coupling exists in the compare.
     */
-  val q19 = Q.of(
-    "q19_date_buckets",
-    """WITH firsts AS (
-      |  SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m') AS cohort
-      |  FROM orders GROUP BY o_custkey
-      |)
-      |SELECT cohort, strftime(o_orderdate, '%Y-%m') AS ym,
-      |  COUNT(*) AS n_orders,
-      |  COUNT(DISTINCT orders.o_custkey) AS n_customers,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
-      |  CAST(COUNT(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 END) AS DOUBLE)
-      |    / COUNT(*) AS weekend_share
-      |FROM orders JOIN firsts ON orders.o_custkey = firsts.o_custkey
-      |GROUP BY cohort, ym
-      |ORDER BY cohort, ym""".stripMargin) { t =>
-    val firsts = t.orders
+  def q19For(asOf: graft.AsOf, lookbackDays: Int): Q = {
+    val start = asOf.minusDays(lookbackDays)
+    Q.of(
+      "q19_date_buckets",
+      s"""WITH o AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate > ${start.sqlTs} AND o_orderdate <= ${asOf.sqlTs}
+        |), firsts AS (
+        |  SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m') AS cohort
+        |  FROM o GROUP BY o_custkey
+        |)
+        |SELECT cohort, strftime(o_orderdate, '%Y-%m') AS ym,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o.o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 END) AS DOUBLE)
+        |    / COUNT(*) AS weekend_share
+        |FROM o JOIN firsts ON o.o_custkey = firsts.o_custkey
+        |GROUP BY cohort, ym
+        |ORDER BY cohort, ym""".stripMargin) { t =>
+    val o = t.orders
+      .filter(col("o_orderdate") > start.tsLit && col("o_orderdate") <= asOf.tsLit)
+    val firsts = o
       .groupBy(col("o_custkey").as("f_custkey"))
       .agg(date_format(min(col("o_orderdate")), "yyyy-MM").as("cohort"))
-    t.orders
+    o
       .join(firsts, col("o_custkey") === col("f_custkey"))
       .groupBy(col("cohort"), date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
       .agg(
@@ -57,7 +67,13 @@ object Funnel {
         (count(when(dayofweek(col("o_orderdate")).isin(1, 7), 1)).cast("double")
           / count(lit(1))).as("weekend_share"))
       .orderBy(col("cohort"), col("ym"))
+    }
   }
+
+  /** Pinned: cohorts observed 1997-01-01..2000-12-31 — drops the
+    * 1995–96 head of the data so the window genuinely bites.
+    */
+  val q19: Q = q19For(graft.AsOf("2000-12-31"), 1460)
 
   /** q20: 4-stage event funnel (signup → view → click → purchase, each
     * stage strictly after the previous) with conversion ratios — the
@@ -74,14 +90,18 @@ object Funnel {
     * scanned and re-shuffled the full events table once per stage
     * (four fact scans) — the shape you'd rewrite at 100 TB of events.
     */
-  val q20 = Q.of(
-    "q20_funnel_cte",
-    """WITH su AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
-      |v AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN su ON e.user_id = su.user_id
+  def q20For(asOf: graft.AsOf, windowDays: Int): Q = {
+    val start = asOf.minusDays(windowDays)
+    Q.of(
+      "q20_funnel_cte",
+      s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
+      |           WHERE ts > ${start.sqlTs} AND ts <= ${asOf.sqlTs}),
+      |su AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN su ON e.user_id = su.user_id
       |      WHERE e.event_type = 'view' AND e.ts > su.t GROUP BY e.user_id),
-      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN v ON e.user_id = v.user_id
       |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN c ON e.user_id = c.user_id
       |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
       |SELECT (SELECT COUNT(*) FROM su) AS n_signup,
       |  (SELECT COUNT(*) FROM v) AS n_view,
@@ -100,7 +120,8 @@ object Funnel {
       min(when(hit, col("ts"))).over(w)
     }
     val staged = t.events
-      .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+      .filter(col("ts") > start.tsLit && col("ts") <= asOf.tsLit &&
+        col("event_type").isin("signup", "view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("t_su", stageMin("signup", None))
       .withColumn("t_v", stageMin("view", Some("t_su")))
@@ -117,7 +138,14 @@ object Funnel {
       .withColumn("view_rate", col("n_view").cast("double") / nullif(col("n_signup"), lit(0L)))
       .withColumn("click_rate", col("n_click").cast("double") / nullif(col("n_view"), lit(0L)))
       .withColumn("purchase_rate", col("n_purchase").cast("double") / nullif(col("n_click"), lit(0L)))
+    }
   }
+
+  /** Pinned: a 21-day funnel window off 2024-01-31 — users whose first
+    * in-window signup is after Jan 10 re-enter each stage, so the
+    * window changes (and the oracle re-derives) every stage count.
+    */
+  val q20: Q = q20For(graft.AsOf("2024-01-31"), 21)
 
   /** q21: gap sessionization (30-min gap) via the Sessionize operator,
     * rolled up to one row per session. The operator is one shuffle on

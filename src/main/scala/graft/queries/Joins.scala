@@ -192,25 +192,27 @@ object Joins {
     * the max orderkey so the as-of target is unique and both engines
     * are deterministic; the oracle is DuckDB's native ASOF LEFT JOIN.
     */
-  val q35 = Q.of(
+  def q35For(asOf: graft.AsOf): Q = Q.of(
     "q35_asof_join",
-    """WITH od AS (
+    s"""WITH od AS (
       |  SELECT o_custkey AS user_id, o_orderdate AS last_orderdate,
       |    o_orderkey AS last_orderkey,
       |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
       |                       ORDER BY o_orderkey DESC) AS rn
-      |  FROM orders
+      |  FROM orders WHERE o_orderdate <= ${asOf.sqlTs}
       |), odd AS (
       |  SELECT user_id, last_orderdate, last_orderkey FROM od WHERE rn = 1
       |)
       |SELECT e.event_id, e.user_id, e.ts, odd.last_orderdate, odd.last_orderkey,
       |  CAST(CAST(e.ts AS DATE) - CAST(odd.last_orderdate AS DATE) AS BIGINT) AS days_since_order
-      |FROM events e ASOF LEFT JOIN odd
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE ts <= ${asOf.sqlTs}) e
+      |ASOF LEFT JOIN odd
       |  ON e.user_id = odd.user_id AND odd.last_orderdate <= e.ts
       |ORDER BY e.event_id""".stripMargin) { t =>
     val dw = Window.partitionBy(col("user_id"), col("last_orderdate"))
       .orderBy(col("last_orderkey").desc)
     val od = t.orders
+      .filter(col("o_orderdate") <= asOf.tsLit)
       .select(col("o_custkey").as("user_id"),
         col("o_orderdate").as("last_orderdate"),
         col("o_orderkey").as("last_orderkey"))
@@ -218,12 +220,18 @@ object Joins {
       .filter(col("graft_rn") === 1)
       .drop("graft_rn")
     AsofJoin.backward(
-      t.events.select(col("event_id"), col("user_id"), col("ts")),
+      t.events.filter(col("ts") <= asOf.tsLit)
+        .select(col("event_id"), col("user_id"), col("ts")),
       od, keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "last_orderdate")
       .withColumn("days_since_order",
         datediff(col("ts"), col("last_orderdate")).cast("long"))
       .orderBy(col("event_id"))
   }
+
+  /** Pinned mid-stream: replay-at Jan 16 keeps ~half the events as the
+    * as-of left side (the state side is naturally all-history).
+    */
+  val q35: Q = q35For(graft.AsOf("2024-01-16"))
 
   /** q36: interval range join — shipments landing inside any
     * high-value order's 7-day window ([[RangeJoin.pointInInterval]]:
@@ -234,13 +242,17 @@ object Joins {
     * into ≤2 buckets. Oracle is the plain range-predicate join, which
     * DuckDB executes natively (IEJoin).
     */
-  val q36 = Q.of(
-    "q36_range_join",
-    """SELECT o.o_orderkey, o.o_orderdate AS window_start,
+  def q36For(asOf: graft.AsOf, lookbackDays: Int): Q = {
+    val start = asOf.minusDays(lookbackDays)
+    Q.of(
+      "q36_range_join",
+      s"""SELECT o.o_orderkey, o.o_orderdate AS window_start,
       |  COUNT(*) AS n_shipped_7d,
       |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty_shipped_7d
       |FROM lineitem l
-      |JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_totalprice > 490000) o
+      |JOIN (SELECT o_orderkey, o_orderdate FROM orders
+      |      WHERE o_totalprice > 490000
+      |        AND o_orderdate > ${start.sqlTs} AND o_orderdate <= ${asOf.sqlTs}) o
       |  ON l.l_shipdate >= o.o_orderdate
       | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
       |GROUP BY o.o_orderkey, o.o_orderdate
@@ -250,7 +262,8 @@ object Joins {
     // so the cast to instant is wall-clock-exact on both engines
     val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
     val windows = t.orders
-      .filter(col("o_totalprice") > 490000)
+      .filter(col("o_totalprice") > 490000 &&
+        col("o_orderdate") > start.tsLit && col("o_orderdate") <= asOf.tsLit)
       .select(col("o_orderkey"), col("o_orderdate").as("window_start"),
         odUs.as("w_start_us"), (odUs + weekUs - 1).as("w_end_us"))
     val ships = t.lineitem
@@ -262,7 +275,13 @@ object Joins {
       .agg(count(lit(1)).as("n_shipped_7d"),
         dsum(col("l_quantity")).as("qty_shipped_7d"))
       .orderBy(col("o_orderkey"))
+    }
   }
+
+  /** Pinned: windows from orders placed 1999-01-01..2000-12-31 — the
+    * asOf window cuts the interval set to ~a third of the data span.
+    */
+  val q36: Q = q36For(graft.AsOf("2000-12-31"), 730)
 
   def all: Seq[Q] = Seq(q15, q16, q17, q18, q22, q26, q29, q35, q36)
 }

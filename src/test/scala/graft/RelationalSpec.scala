@@ -66,6 +66,28 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("q19/q20/q35/q36: asOf re-derives each window literal at plan time") {
+    // (name, re-parameterized plan, literal the new asOf must produce,
+    //  literal only the default registration carries)
+    val cases = Seq(
+      ("q19", planOf(graft.queries.Funnel.q19For(AsOf("1999-06-30"), 365).run(spark, sfDir)),
+        "1998-06-30", "1997-01-01"),
+      ("q20", planOf(graft.queries.Funnel.q20For(AsOf("2024-01-20"), 5).run(spark, sfDir)),
+        "2024-01-15", "2024-01-10"),
+      ("q35", planOf(graft.queries.Joins.q35For(AsOf("2024-01-10")).run(spark, sfDir)),
+        "2024-01-10", "2024-01-16"),
+      ("q36", planOf(graft.queries.Joins.q36For(AsOf("1997-12-31"), 365).run(spark, sfDir)),
+        "1996-12-31", "1999-01-01"))
+    for ((name, p, expectNew, defaultOnly) <- cases) {
+      assert(p.contains(expectNew), s"$name: re-parameterized window literal not in plan")
+      assert(!p.contains(defaultOnly), s"$name: plan still carries the default asOf literal")
+    }
+    assert(planOf(run("q19_date_buckets")).contains("1997-01-01"))
+    assert(planOf(run("q20_funnel_cte")).contains("2024-01-10"))
+    assert(planOf(run("q35_asof_join")).contains("2024-01-16"))
+    assert(planOf(run("q36_range_join")).contains("1999-01-01"))
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
