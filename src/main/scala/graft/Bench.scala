@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * the first timed query isn't charged for it; failures are reported
   * per-query in an "errors" field (value -1) instead of being silently
   * timed, and the process exits non-zero if anything failed.
+  *
+  * Noise canary (VERDICT r4 #5): the same fixed calibration query is
+  * timed right after warmup and again after the last query, and the
+  * JSON carries both times plus `canary_drift` = max/min of the two.
+  * The per-query 2× gate cannot tell machine contention from a real
+  * regression (BENCH_r04 flagged 8 untouched queries purely from
+  * load); a drifted canary makes a noisy run self-identifying — the
+  * discard rule lives in BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +29,16 @@ object Bench {
     // JIT/codegen/buffer-pool costs don't land on the first timed query.
     Registry.byName("q01_agg_pushdown").run(spark, sfDir).count()
     Registry.byName("q05_window_rank").run(spark, sfDir).count()
+
+    val canaryName = "q01_agg_pushdown"
+    def canaryTime(): Double = {
+      spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription("canary")
+      val t0 = System.nanoTime()
+      Registry.byName(canaryName).run(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart = canaryTime()
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -46,12 +64,17 @@ object Bench {
       (q.name, if (err.isEmpty) sec else -1.0, err)
     }
 
+    val canaryEnd = canaryTime()
+    val drift = math.max(canaryStart, canaryEnd) / math.min(canaryStart, canaryEnd)
+
     val qs = results.map { case (n, s, _) => s""""$n":$s""" }.mkString("{", ",", "}")
     val errs = results.collect { case (n, _, Some(e)) => s""""$n":"$e"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, s, None) => s }.sum
+    val canary = s"""{"query":"$canaryName","start_sec":$canaryStart,""" +
+      s""""end_sec":$canaryEnd,"drift":$drift}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canary":$canary,"canary_drift":$drift,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

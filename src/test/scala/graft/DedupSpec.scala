@@ -85,9 +85,15 @@ class DedupSpec extends SparkSpec {
     }
     val expected = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
       .map(x => x -> find(x)).toMap
-    val got = Components.label(pairs, "doc_a", "doc_b").collect()
+    // distributed loop (forced) and the driver fast path must both
+    // match the sequential ground truth
+    val distributed = Components.labelWithStats(pairs, "doc_a", "doc_b",
+      localMaxEdges = 0L)._1.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == expected)
+    assert(distributed == expected)
+    val local = Components.label(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
     spark.catalog.clearCache()
   }
 

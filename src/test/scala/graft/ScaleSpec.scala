@@ -65,7 +65,10 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     def roundsOf(pairs: Seq[(Long, Long)]): Int = {
       val df = pairs.toDF("doc_a", "doc_b")
-      val (labels, rounds) = Components.labelWithStats(df, "doc_a", "doc_b")
+      // localMaxEdges = 0 forces the distributed loop — the round
+      // count is the property under test here
+      val (labels, rounds) = Components.labelWithStats(df, "doc_a", "doc_b",
+        localMaxEdges = 0L)
       labels.count() // materialize before the cache is dropped
       spark.catalog.clearCache()
       rounds
