@@ -32,4 +32,30 @@ object PartitionedStore {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Idempotent per-microbatch write — the `foreachBatch` target of
+    * [[graft.streaming.EventStreams.sinkPartitioned]]. Every batch's
+    * rows land under their own `graft_batch_id=<id>/...` partition
+    * tree, and the write is batchId-GUARDED: if that tree already
+    * exists (the batch is a replay — the driver died after the sink
+    * wrote but before the checkpoint committed the offset), it is
+    * deleted first and rewritten whole. Re-execution therefore
+    * converges to exactly-once output without relying on dynamic
+    * partition overwrite being total (a replay that planned fewer
+    * inner partitions would otherwise leave orphans behind).
+    */
+  def writeBatch(df: DataFrame, path: String, partitionCols: Seq[String],
+      batchId: Long): Unit = {
+    val batchDir = new org.apache.hadoop.fs.Path(path, s"graft_batch_id=$batchId")
+    val fs = batchDir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
+    val laidOut =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    laidOut
+      .withColumn("graft_batch_id", lit(batchId))
+      .write
+      .partitionBy("graft_batch_id" +: partitionCols: _*)
+      .mode("append")
+      .parquet(path)
+  }
 }
