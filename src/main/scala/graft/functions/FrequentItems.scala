@@ -66,3 +66,32 @@ class FrequentItems(k: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
 }
+
+/** [[FrequentItems]] with the group's total item count folded into the
+  * buffer (VERDICT r4 #6): state is (n, counters) so ONE pass over the
+  * exploded token frame yields both the MG candidate set and the
+  * per-group N the threshold needs — q37 previously re-derived the
+  * frame a third time just to count it. Same MG guarantee (the count
+  * is exact: reduce adds 1, merge adds ns).
+  */
+class FrequentItemsWithTotal(k: Int)
+    extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+
+  private val mg = new FrequentItems(k)
+
+  override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+  override def reduce(acc: (Long, Map[String, Long]), item: String): (Long, Map[String, Long]) =
+    (acc._1 + 1L, mg.reduce(acc._2, item))
+
+  override def merge(a: (Long, Map[String, Long]), b: (Long, Map[String, Long])): (Long, Map[String, Long]) =
+    (a._1 + b._1, mg.merge(a._2, b._2))
+
+  override def finish(acc: (Long, Map[String, Long])): (Long, Map[String, Long]) = acc
+
+  override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+    ExpressionEncoder[(Long, Map[String, Long])]()
+
+  override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+    ExpressionEncoder[(Long, Map[String, Long])]()
+}

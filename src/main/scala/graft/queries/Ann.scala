@@ -162,8 +162,16 @@ object Ann {
     */
   val q52 = Q.rowsOnly("q52_centroid_ivf") { t =>
     val e = vectors(t)
-    val centroids = Similarity
-      .trainCentroids(e, ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
+    // train on the deterministic quarter-sample (VERDICT r4 #8): Lloyd
+    // only needs enough points per cell to estimate the means, so the
+    // two training passes scan 25% of the corpus — the sampled means
+    // differ from the full-corpus means by O(1/sqrt(cell sample)) and
+    // the assignment/probe stages are untouched. AnnSpec's clustered
+    // fixture pins that sampled training still collapses seed-blind
+    // skew.
+    val centroids = Similarity.trainCentroids(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
     ivfTopK(e, centroids)
   }
 

@@ -123,7 +123,21 @@ class AnnSpec extends SparkSpec {
     info(f"clustered recall@10: untrained=$rUntrained%.3f trained=$rTrained%.3f")
     assert(rTrained >= rUntrained - 1e-9,
       f"trained recall $rTrained%.3f below untrained $rUntrained%.3f")
-    e.unpersist(); trained.unpersist()
+    // q52 trains on the deterministic quarter-sample: sampled Lloyd
+    // must still collapse the seed-blind skew on the same fixture
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val trainedSampled = Similarity.trainCentroids(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      seeds, "vec_id", "v", "cid", "cv", iters = 2).cache()
+    val sSampled = cellSkew(e, trainedSampled)
+    info(f"cell max/mean with quarter-sample training = $sSampled%.2f")
+    assert(sSampled < sUntrained,
+      f"sampled training did not reduce hot-cell skew: $sSampled%.2f >= $sUntrained%.2f")
+    val rSampled = recallVs(exactLocal, asMap(A.ivfTopK(e, trainedSampled)))
+    info(f"clustered recall@10 with sampled training = $rSampled%.3f")
+    assert(rSampled >= rUntrained - 1e-9,
+      f"sampled-trained recall $rSampled%.3f below untrained $rUntrained%.3f")
+    e.unpersist(); trained.unpersist(); trainedSampled.unpersist()
   }
 
   test("q53 int8-quantized recall@10 vs exact >= 0.8 (quantization noise only)") {
