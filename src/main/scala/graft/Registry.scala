@@ -10,6 +10,7 @@ object Registry {
       graft.queries.Funnel.all ++
       graft.queries.Churn.all ++
       graft.queries.Engagement.all ++
+      graft.queries.CatalogGap.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -88,6 +88,31 @@ class RelationalSpec extends SparkSpec {
     assert(planOf(run("q36_range_join")).contains("1999-01-01"))
   }
 
+  test("q47: fact window pushed to scan, dims broadcast, one fact exchange") {
+    val df = run("q47_catalog_gap")
+    df.collect() // finalize AQE
+    val p = planOf(df)
+    // the 730-day asOf window must reach the lineitem parquet scan
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SortMergeJoin")
+    // raw fact rows must never cross an exchange: every shuffle whose
+    // subtree scans lineitem has to sit ABOVE a partial aggregate
+    // (demand cells / supplier ranking) — a raw-fact shuffle here is
+    // the pattern that dies at 100 TB
+    val rawFactExchanges = shuffles(df).count { s =>
+      val sub = s.child.toString
+      sub.contains("lineitem") && !sub.contains("Aggregate")
+    }
+    assert(rawFactExchanges == 0,
+      s"$rawFactExchanges exchange(s) ship un-aggregated lineitem rows:\n$p")
+    // re-parameterization: a new asOf re-derives the pushed literals
+    val p2 = planOf(graft.queries.CatalogGap.q47For(AsOf("2000-06-30")).run(spark, sfDir))
+    assert(p2.contains("2000-06-30") && p2.contains("1998-07-01"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
