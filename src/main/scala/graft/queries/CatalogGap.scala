@@ -105,7 +105,7 @@ object CatalogGap {
         |    CAST(comp.competitor_titles - cov.current_catalog_size AS DOUBLE) AS title_gap,
         |    comp.competitor_avg_rating - cov.avg_rating AS quality_gap,
         |    cov.avg_age - comp.competitor_avg_age AS freshness_gap,
-        |    cov.demand_growth_pct * 0.3 + cov.watchlist_demand * 0.01 * 0.2
+        |    cov.demand_growth_pct * 0.3 + CAST(cov.watchlist_demand AS DOUBLE) * 0.01 * 0.2
         |      + ABS(CAST(comp.competitor_titles - cov.current_catalog_size AS DOUBLE)) * 0.2
         |      + (comp.competitor_avg_rating - cov.avg_rating) * 0.3 AS acquisition_priority_score
         |  FROM cov LEFT JOIN comp USING (genre, content_type)

@@ -63,8 +63,8 @@ object Engagement {
         |  SELECT user_id, MIN(t_signup) AS signup_ts,
         |    COUNT(CASE WHEN event_type = 'view' AND ts > t_signup THEN 1 END) AS total_views,
         |    COUNT(DISTINCT CASE WHEN event_type = 'view' AND ts > t_signup THEN content_id END) AS unique_content_watched,
-        |    round(CAST(SUM(CASE WHEN event_type = 'view' AND ts > t_signup THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)
-        |      / COUNT(CASE WHEN event_type = 'view' AND ts > t_signup THEN value END), 4) AS avg_completion_rate,
+        |    CAST(SUM(CASE WHEN event_type = 'view' AND ts > t_signup THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN event_type = 'view' AND ts > t_signup THEN value END) AS avg_completion_rate,
         |    COUNT(DISTINCT CASE WHEN event_type = 'click' AND ts > t_signup THEN content_id END) AS watchlist_items,
         |    COUNT(CASE WHEN event_type = 'purchase' AND ts > t_signup THEN 1 END) AS purchases
         |  FROM base GROUP BY user_id
@@ -115,8 +115,13 @@ object Engagement {
           min(col("t_signup")).as("signup_ts"),
           count(when(postView, 1)).as("total_views"),
           countDistinct(when(postView, col("content_id"))).as("unique_content_watched"),
-          round(dsum(when(postView, col("value"))) /
-            count(when(postView, col("value"))), 4).as("avg_completion_rate"),
+          // NO round: at corpus scale the quotient of 4-decimal-exact
+          // sums lands on round() ties that Spark (exact-binary
+          // HALF_UP) and DuckDB (x*1e4 float path) resolve differently
+          // — caught at sf0.1; the unrounded quotient is expression-
+          // identical on both sides
+          (dsum(when(postView, col("value"))) /
+            count(when(postView, col("value")))).as("avg_completion_rate"),
           countDistinct(when(postClick, col("content_id"))).as("watchlist_items"),
           count(when(postBuy, 1)).as("purchases"))
         .filter(col("signup_ts") >= start.tsLit)
