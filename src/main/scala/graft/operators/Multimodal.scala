@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: String,
     n_frames: Long, first_frame: String)
 
+/** One resized + frame-sampled media row (the [[Multimodal.resizeFramesBatched]]
+  * output schema): metadata dims are recomputed for the resize, the
+  * payload is replaced by its resized bytes' digest + sizes, and the
+  * sampled frame digests are capped at the sampling budget.
+  */
+final case class ResizedMedia(doc_id: Long, format: String,
+    out_width: Long, out_height: Long, n_bytes_in: Long, n_bytes_out: Long,
+    checksum: String, n_frames: Long, first_frame: String)
+
 /** Multimodal payload plumbing (SURVEY.md §2 q60).
   *
   * Models the Spark-side shape of an image/audio pipeline: an opaque
@@ -58,6 +67,55 @@ object Multimodal {
       .withColumn("first_frame", element_at(col("frames"), 1))
 
   implicit val mediaEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit val resizedEnc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
+
+  /** STUB resize + frame-sample over raw payload bytes, batch-shaped
+    * (SURVEY §2 q61): the mapPartitions analog of the `mapInPandas`
+    * resize/frame-sample stage of a real media pipeline. Per task,
+    * codec state (here the reused MessageDigest) is set up once; per
+    * row the payload is "resized" by byte decimation (every
+    * `factor`-th byte — a real image resample goes here), the metadata
+    * dims are RECOMPUTED for the resize (real arithmetic: width/height
+    * divided by the factor), and at most `maxFrames` strided frame
+    * digests are sampled from the RESIZED bytes (`frameStride` bytes
+    * apart — the frame-sampling budget a video pipeline enforces).
+    * Preserves input partitioning; no shuffle; rows stream through.
+    * Everything is deterministic, so the whole stage has an exact
+    * oracle (q61) despite the codec being a stub.
+    */
+  def resizeFramesBatched(df: DataFrame, idCol: String,
+      factor: Int, frameStride: Int, maxFrames: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1 && frameStride >= 1 && maxFrames >= 1)
+    val slim = df.select(col(idCol).cast("long"), col("payload"),
+      col("meta.format"), col("meta.width"), col("meta.height"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte], String, Long, Long)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = {
+        val digest = md.digest(b)
+        val sb = new StringBuilder(32)
+        for (x <- digest) sb.append(f"${x & 0xff}%02x")
+        sb.toString
+      }
+      it.map { case (id, payload, format, w, h) =>
+        val resized = Array.tabulate((payload.length + factor - 1) / factor)(j =>
+          payload(j * factor))
+        val len = resized.length
+        val limit = math.max(len - 15, 1)
+        var i = 1
+        var n = 0L
+        var first: String = null
+        while (i <= limit && n < maxFrames) {
+          val frame = hex(java.util.Arrays.copyOfRange(resized, i - 1, math.min(i + 15, len)))
+          if (first == null) first = frame
+          n += 1
+          i += frameStride
+        }
+        ResizedMedia(id, format, math.max(w / factor, 1L), math.max(h / factor, 1L),
+          payload.length.toLong, len.toLong, hex(resized), n, first)
+      }
+    }
+  }
 
   /** BATCH-shaped decode over raw payload bytes: the Scala analog of a
     * `mapInPandas` decoder — invoked once per PARTITION with an

@@ -39,5 +39,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(q60)
+  /** q61: resize + frame-sample stage over the batched iterator path
+    * ([[graft.operators.Multimodal.resizeFramesBatched]] — the
+    * mapInPandas-shaped stage a video/image pipeline runs), rolled up
+    * per format: payload bytes decimated 2×, metadata dims recomputed,
+    * ≤8 frame digests sampled 64 bytes apart from the RESIZED bytes.
+    * The stub arithmetic is deterministic, so the whole batch stage
+    * has an exact oracle (same ASCII-corpus byte/char equivalence as
+    * q60; multibyte byte-semantics pinned in MultimodalSpec).
+    */
+  val q61 = Q.of(
+    "q61_multimodal_resize",
+    """WITH rs AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      |    CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
+      |    CAST(length(text) AS BIGINT) AS n_bytes_in,
+      |    array_to_string(list_transform(generate_series(1, length(text), 2),
+      |                                   i -> substr(text, i, 1)), '') AS rtext
+      |  FROM documents
+      |), m AS (
+      |  SELECT format, n_bytes_in,
+      |    CAST(length(rtext) AS BIGINT) AS n_bytes_out,
+      |    LEAST(8, ((greatest(length(rtext) - 15, 1) - 1) // 64) + 1) AS n_frames,
+      |    md5(rtext) AS checksum,
+      |    greatest(width // 2, 1) AS out_width
+      |  FROM rs
+      |)
+      |SELECT format, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bytes_in) AS BIGINT) AS total_bytes_in,
+      |  CAST(SUM(n_bytes_out) AS BIGINT) AS total_bytes_out,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+      |  COUNT(DISTINCT checksum) AS n_distinct_payloads,
+      |  CAST(MAX(out_width) AS BIGINT) AS max_out_width
+      |FROM m GROUP BY format
+      |ORDER BY format""".stripMargin) { t =>
+    M.resizeFramesBatched(M.withPayload(t.documents, "text", "doc_id"), "doc_id",
+        factor = 2, frameStride = 64, maxFrames = 8)
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes_in")).as("total_bytes_in"),
+        sum(col("n_bytes_out")).as("total_bytes_out"),
+        sum(col("n_frames")).as("total_frames"),
+        countDistinct(col("checksum")).as("n_distinct_payloads"),
+        max(col("out_width")).as("max_out_width"))
+      .orderBy(col("format"))
+  }
+
+  def all: Seq[Q] = Seq(q60, q61)
 }

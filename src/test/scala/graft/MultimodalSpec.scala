@@ -48,4 +48,32 @@ class MultimodalSpec extends SparkSpec {
     assert(shuffles(df).isEmpty,
       "per-partition decode must not plan an exchange")
   }
+
+  test("resizeFramesBatched: byte decimation, recomputed dims, frame cap — no shuffle") {
+    import spark.implicits._
+    val big = "0123456789abcdef" * 200 // 3200 bytes -> 1600 resized -> >8 frame slots
+    val docs = M.withPayload(
+      Seq((0L, big), (1L, "short"), (2L, "日本語" * 40))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val out = M.resizeFramesBatched(docs, "doc_id",
+        factor = 2, frameStride = 64, maxFrames = 8)
+      .collect().map(m => m.doc_id -> m).toMap
+    // independent ground truth: decimate the UTF-8 bytes in the test
+    for ((id, text) <- Seq(0L -> big, 1L -> "short", 2L -> "日本語" * 40)) {
+      val bytes = text.getBytes("UTF-8")
+      val resized = bytes.indices.collect { case j if j % 2 == 0 => bytes(j) }.toArray
+      val expectChecksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(resized).map(b => f"${b & 0xff}%02x").mkString
+      assert(out(id).n_bytes_in == bytes.length, s"doc $id bytes_in")
+      assert(out(id).n_bytes_out == (bytes.length + 1) / 2, s"doc $id bytes_out")
+      assert(out(id).checksum == expectChecksum, s"doc $id checksum (byte semantics)")
+    }
+    assert(out(0L).n_frames == 8, "frame budget not enforced")
+    assert(out(1L).n_frames == 1)
+    // resized dims: width = 64 + (id%16)*32 halved, floor at 1
+    assert(out(1L).out_width == (64 + 1 * 32) / 2)
+    // and the stage plans no exchange
+    val df = M.resizeFramesBatched(docs, "doc_id", 2, 64, 8).toDF()
+    assert(shuffles(df).isEmpty, "per-partition resize must not plan an exchange")
+  }
 }
