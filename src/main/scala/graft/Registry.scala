@@ -11,6 +11,7 @@ object Registry {
       graft.queries.Churn.all ++
       graft.queries.Engagement.all ++
       graft.queries.CatalogGap.all ++
+      graft.queries.Seasonal.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -113,6 +113,25 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
   }
 
+  test("q48: fact window pushed, no raw-fact exchange, asOf re-plans") {
+    val df = run("q48_seasonal_patterns")
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SortMergeJoin")
+    val rawFactExchanges = shuffles(df).count { s =>
+      val sub = s.child.toString
+      sub.contains("lineitem") && !sub.contains("Aggregate") && !sub.contains("Distinct")
+    }
+    assert(rawFactExchanges == 0,
+      s"$rawFactExchanges exchange(s) ship un-aggregated lineitem rows:\n$p")
+    val p2 = planOf(graft.queries.Seasonal.q48For(AsOf("2000-06-30")).run(spark, sfDir))
+    assert(p2.contains("2000-06-30") && p2.contains("1998-07-01"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
