@@ -71,6 +71,21 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Embedding near-dup RESOLUTION: LSH cosine pairs → connected
+    * components ([[Components]] — min-id label propagation with the
+    * small-graph union-find fast path) → lowest-id survivor per
+    * component. Returns the deduped vector frame — the q45 operation
+    * on the embedding tier, so a training pipeline can drop
+    * semantic near-duplicates, not just report them (DedupSpec pins
+    * survivor structure against the pair graph).
+    */
+  def dropNearDupVectors(vectors: DataFrame, idCol: String, vCol: String,
+      tables: Int = 16, bitsPerTable: Int = 4, minCosine: Double = 0.9): DataFrame = {
+    val pairs = lshNearDupPairs(vectors, idCol, vCol, tables, bitsPerTable, minCosine)
+    Components.keepSurvivors(vectors, idCol,
+      Components.label(pairs, "vec_a", "vec_b"))
+  }
+
   /** Lloyd (k-means) refinement of an IVF centroid set, as pure
     * DataFrame ops (VERDICT r3 #4): each iteration assigns every vector
     * to its nearest current centroid via the zero-shuffle native argmax
