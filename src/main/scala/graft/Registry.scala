@@ -12,6 +12,7 @@ object Registry {
       graft.queries.Engagement.all ++
       graft.queries.CatalogGap.all ++
       graft.queries.Seasonal.all ++
+      graft.queries.Binge.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -132,6 +132,35 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
   }
 
+  test("q49: one fused fact pass — window pushed, single (viewer, series) exchange, cells cached") {
+    val df = run("q49_binge_behavior")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SortMergeJoin")
+    // the fused cell aggregate (binge metrics + series-minute partials
+    // + first-view completion in one pass) is materialized once…
+    assert(p.contains("InMemoryTableScan"), s"fused cell frame not cached:\n$p")
+    // …and the LAG/row_number window partitions by (viewer, series)
+    // with the cell groupBy reusing that partitioning — exactly one
+    // exchange anywhere (cached plan included) carries fact-derived
+    // rows on those keys; every other exchange is cell-sized
+    val vsExchanges = physicalNodesWithCached(df).count {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        val part = s.outputPartitioning.toString
+        part.contains("viewer") && part.contains("series")
+      case _ => false
+    }
+    assert(vsExchanges == 1,
+      s"expected 1 (viewer, series) exchange, got $vsExchanges:\n$p")
+    val df2 = graft.queries.Binge.q49For(AsOf("2000-06-30"), 365).run(spark, sfDir)
+    val p2 = planWithCachedOf(df2)
+    assert(p2.contains("2000-06-30") && p2.contains("1999-07-01"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled

@@ -32,10 +32,30 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** [[planOf]] plus the plan of every distinct cached
+    * (InMemoryRelation) intermediate the query scans, so pushed-filter
+    * and exchange assertions can see through a CacheScope
+    * materialization.
+    */
+  def planWithCachedOf(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = scala.collection.mutable.Set[Int]()
+    val cached = physicalNodes(df).collect {
+      case m: InMemoryTableScanExec if seen.add(System.identityHashCode(m.relation.cacheBuilder)) =>
+        m.relation.cachedPlan.toString()
+    }
+    (planOf(df) +: cached).mkString("\n=== cached relation ===\n")
+  }
+
   /** All physical nodes of the (possibly adaptive) plan, descending
     * through AQE wrappers — for structural shuffle/window assertions.
     */
-  def physicalNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+  def physicalNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    walkPlan(df.queryExecution.executedPlan)
+
+  private def walkPlan(
+      root: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Seq[SparkPlan] = {
@@ -46,7 +66,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       p +: kids.flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan)
+    walk(root)
   }
 
   /** The shuffle exchanges of the plan, as (partitioning-description,
@@ -57,6 +77,22 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     physicalNodes(df).collect {
       case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
     }
+
+  /** Like [[physicalNodes]] but also descends into cached
+    * (InMemoryRelation) plans — each cached relation walked ONCE even
+    * when several branches scan it — so a query that materializes an
+    * intermediate via CacheScope can still assert on the exchanges
+    * that feed the cache.
+    */
+  def physicalNodesWithCached(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = scala.collection.mutable.Set[Int]()
+    physicalNodes(df).flatMap {
+      case m: InMemoryTableScanExec if seen.add(System.identityHashCode(m.relation.cacheBuilder)) =>
+        m +: walkPlan(m.relation.cachedPlan)
+      case other => Seq(other)
+    }
+  }
 
   override def afterAll(): Unit = {
     // keep the session alive for other suites in the same JVM
