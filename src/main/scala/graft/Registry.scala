@@ -13,6 +13,7 @@ object Registry {
       graft.queries.CatalogGap.all ++
       graft.queries.Seasonal.all ++
       graft.queries.Binge.all ++
+      graft.queries.Subscription.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -161,6 +161,28 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2001-08-01"), "plan still carries the default asOf literal")
   }
 
+  test("q55: interval join co-partitioned on user_id — no per-change reshuffle") {
+    val df = run("q55_subscription_patterns")
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("In(event_type") || p.contains("EqualTo(event_type"),
+      "event-type filters not pushed to the events scans")
+    // the fused per-change aggregate groups on (user_id, change_id, …):
+    // the interval join's user_id partitioning satisfies it, so no
+    // exchange anywhere re-partitions on change_id
+    val changeExchanges = shuffles(df)
+      .count(_.outputPartitioning.toString.contains("change_id"))
+    assert(changeExchanges == 0,
+      s"per-change reshuffle found ($changeExchanges change_id exchanges):\n$p")
+    // the tiny predictor frame is what broadcasts into the target
+    // band-join — the user frame must never be a broadcast build side
+    assert(p.contains("BroadcastHashJoin"), s"target band-join not broadcast:\n$p")
+    val p2 = planOf(graft.queries.Subscription.q55For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-28"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
