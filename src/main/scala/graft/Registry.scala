@@ -14,6 +14,7 @@ object Registry {
       graft.queries.Seasonal.all ++
       graft.queries.Binge.all ++
       graft.queries.Subscription.all ++
+      graft.queries.Ltv.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -183,6 +183,29 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-28"), "plan still carries the default asOf literal")
   }
 
+  test("q56: one events scan + one user_id exchange, genre and rate card broadcast") {
+    val df = run("q56_user_ltv")
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("In(event_type"), "event-type filter not pushed to the events scan")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SortMergeJoin")
+    // q46's cascade: the signup window min and the per-user aggregate
+    // share ONE user_id hash exchange; the genre/part, customer/nation
+    // and rate-card joins are all broadcast, so the fact never
+    // re-shuffles (the final global sort is range partitioning and
+    // legitimately carries user_id as its tiebreak key)
+    val userExchanges = shuffles(df).count { s =>
+      val part = s.outputPartitioning.toString
+      part.contains("hashpartitioning") && part.contains("user_id")
+    }
+    assert(userExchanges == 1, s"expected 1 user_id hash exchange, got $userExchanges:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
+    val p2 = planOf(graft.queries.Ltv.q56For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized tenure literal not in the plan")
+    assert(!p2.contains("2024-01-28"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
