@@ -15,6 +15,7 @@ object Registry {
       graft.queries.Binge.all ++
       graft.queries.Subscription.all ++
       graft.queries.Ltv.all ++
+      graft.queries.Geo.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -206,6 +206,33 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-28"), "plan still carries the default asOf literal")
   }
 
+  test("q57: pairwise self-join runs over the cached cell frame, fact window pushed") {
+    val df = run("q57_geo_preferences")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p")
+    // the preference cell frame is cached once; the cross-country
+    // self-join reads it from memory twice instead of re-deriving the
+    // fact lineage for each side
+    assert(p.contains("InMemoryTableScan"), s"cell frame not cached:\n$p")
+    // the pair join and every final enrichment joins broadcast — the
+    // pairwise comparison never shuffles; the one legitimate
+    // sort-merge join is the (country × part) LeftAnti against the
+    // viewed-pairs frame, whose both sides scale with |parts| (a
+    // broadcast there would NOT survive a 100 TB corpus)
+    val badSmj = physicalNodesWithCached(df).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType != org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(badSmj.isEmpty, s"a small-frame join degraded to SortMergeJoin:\n$p")
+    val p2 = planWithCachedOf(
+      graft.queries.Geo.q57For(AsOf("1999-12-31"), 180).run(spark, sfDir))
+    assert(p2.contains("1999-12-31") && p2.contains("1999-07-04"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2000-12-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
