@@ -16,6 +16,7 @@ object Registry {
       graft.queries.Subscription.all ++
       graft.queries.Ltv.all ++
       graft.queries.Geo.all ++
+      graft.queries.CostOpt.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -70,4 +70,26 @@ object det {
     val sxy = dsumw(x * y)
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
+
+  /** Cross-engine-EXACT linear-interpolated percentile over a sorted
+    * array column (`sort_array(collect_list(x))` on the Spark side,
+    * `list_sort(list(x))` in DuckDB) with `n` elements.
+    *
+    * Engine-internal percentile implementations (Spark `percentile`,
+    * DuckDB `quantile_cont`) interpolate with engine-private
+    * arithmetic, and q10's round-to-4 compromise breaks when the raw
+    * value lands on an exact 5-at-the-5th-decimal tie that the two
+    * engines' round() resolve differently (hit by q58's
+    * cost-per-stream quartiles). Writing the interpolation as an
+    * explicit expression — `lo = arr[⌊f·(n−1)⌋+1]`, `hi = arr[⌈…⌉+1]`,
+    * `lo + (hi − lo)·frac` — and mirroring it VERBATIM in the oracle
+    * SQL makes every IEEE operation identical on both engines, so the
+    * result is bit-exact with no rounding at all.
+    */
+  def dpercentile(sortedArr: Column, n: Column, f: Double): Column = {
+    val pos = lit(f) * (n - 1).cast("double")
+    val lo  = element_at(sortedArr, floor(pos).cast("int") + 1)
+    val hi  = element_at(sortedArr, ceil(pos).cast("int") + 1)
+    lo + (hi - lo) * (pos - floor(pos))
+  }
 }

@@ -233,6 +233,30 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2000-12-31"), "plan still carries the default asOf literal")
   }
 
+  test("q58: one fact exchange on content_id, dims broadcast, asOf re-plans the window") {
+    val df = run("q58_cost_optimization")
+    df.collect() // finalize AQE so the real exchanges/joins are visible
+    val p = planOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"part/supplier dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SortMergeJoin")
+    // the fact is shuffled exactly once, into the per-content aggregate;
+    // the (type, genre, quality) rollup re-partitions only the
+    // content-sized frame and the final sort is range partitioning
+    val contentExchanges = shuffles(df).count { s =>
+      val part = s.outputPartitioning.toString
+      part.contains("l_partkey") || part.contains("content_id")
+    }
+    assert(contentExchanges == 1,
+      s"expected 1 content-key exchange, got $contentExchanges:\n$p")
+    val p2 = planOf(
+      graft.queries.CostOpt.q58For(AsOf("1999-12-31"), 365).run(spark, sfDir))
+    assert(p2.contains("1999-12-31") && p2.contains("1998-12-31"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2000-12-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
