@@ -17,6 +17,7 @@ object Registry {
       graft.queries.Ltv.all ++
       graft.queries.Geo.all ++
       graft.queries.CostOpt.all ++
+      graft.queries.Cohort.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

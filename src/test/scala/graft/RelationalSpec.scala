@@ -257,6 +257,28 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2000-12-31"), "plan still carries the default asOf literal")
   }
 
+  test("q59: window min + both aggregates share ONE l_partkey exchange, asOf re-plans") {
+    val df = run("q59_cohort_performance")
+    df.collect() // finalize AQE so the real exchanges/joins are visible
+    val p = planOf(df)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"asOf ceiling not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "the dim join degraded to SortMergeJoin")
+    // the add-date window min, the (content, viewer) aggregate, and the
+    // per-content aggregate all need only l_partkey clustering, so the
+    // fact is exchanged exactly once; the only other hash exchange is
+    // the cell-sized cohort rollup
+    val factExchanges = shuffles(df)
+      .count(_.outputPartitioning.toString.contains("l_partkey"))
+    assert(factExchanges == 1,
+      s"expected 1 l_partkey exchange, got $factExchanges:\n$p")
+    val p2 = planOf(
+      graft.queries.Cohort.q59For(AsOf("1995-12-31"), 365).run(spark, sfDir))
+    assert(p2.contains("1995-12-31") && p2.contains("1994-12-31"),
+      "re-parameterized cohort window literals not in the plan")
+    assert(!p2.contains("1996-12-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
