@@ -18,6 +18,7 @@ object Registry {
       graft.queries.Geo.all ++
       graft.queries.CostOpt.all ++
       graft.queries.Cohort.all ++
+      graft.queries.CrossPlatform.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

@@ -279,6 +279,27 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("1996-12-31"), "plan still carries the default asOf literal")
   }
 
+  test("q62: one user_id exchange, customer broadcast, asOf re-plans the ts window") {
+    val df = run("q62_cross_platform")
+    df.collect() // finalize AQE so the real exchanges/joins are visible
+    val p = planOf(df)
+    assert(p.contains("GreaterThan(ts") || p.contains("ts#"),
+      s"ts window not pushed to the events scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "the dim join degraded to SortMergeJoin")
+    // the per-user aggregate is the only fact exchange; the rollup
+    // re-partitions the <=90-cell category frame
+    val userExchanges = shuffles(df)
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange, got $userExchanges:\n$p")
+    val p2 = planOf(
+      graft.queries.CrossPlatform.q62For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
