@@ -19,6 +19,7 @@ object Registry {
       graft.queries.CostOpt.all ++
       graft.queries.Cohort.all ++
       graft.queries.CrossPlatform.all ++
+      graft.queries.Affinity.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

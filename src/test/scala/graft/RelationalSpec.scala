@@ -300,6 +300,31 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("q63: affinity frame cached, fact scanned once, enrichments broadcast") {
+    val df = run("q63_genre_affinity")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    // the (profile, genre) affinity frame is cached once and reused by
+    // the pair self-join (both sides), the qualifying-user counts, and
+    // the exploded watched-content branch — the fact lineage exists
+    // only inside the cached relation
+    assert(p.contains("InMemoryTableScan"), s"affinity frame not cached:\n$p")
+    val factScans = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.isEmpty && s.toString.contains("lineitem") => s
+    }
+    assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}:\n$p")
+    // the network frame is <=20 rows: every enrichment join broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"enrichment joins not broadcast:\n$p")
+    val p2 = planWithCachedOf(
+      graft.queries.Affinity.q63For(AsOf("1996-06-30"), 60).run(spark, sfDir))
+    assert(p2.contains("1996-06-30") && p2.contains("1996-05-01"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
