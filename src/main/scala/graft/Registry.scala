@@ -20,6 +20,7 @@ object Registry {
       graft.queries.Cohort.all ++
       graft.queries.CrossPlatform.all ++
       graft.queries.Affinity.all ++
+      graft.queries.Reco.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

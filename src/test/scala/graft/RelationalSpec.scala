@@ -325,6 +325,29 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
   }
 
+  test("q64: type-pruned scans, rec aggregate reuses the join's user clustering") {
+    val df = run("q64_recommendation_perf")
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("EqualTo(event_type,click") || p.contains("event_type"),
+      s"event_type filter not pushed:\n$p")
+    // the rec and view branches each exchange ONCE on user_id for the
+    // co-partitioned join; the per-recommendation aggregate groups by
+    // (user_id, rec_id, ...) and must REUSE that clustering — a third
+    // user exchange would mean the fused aggregate re-shuffled pairs
+    // (at spec SF, AQE may broadcast the smaller join side, dropping
+    // below 2 — what must NOT happen is a third exchange)
+    val userExchanges = shuffles(df)
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges <= 2,
+      s"expected <=2 user_id exchanges (join sides only), got $userExchanges:\n$p")
+    val p2 = planOf(
+      graft.queries.Reco.q64For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized rec window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
