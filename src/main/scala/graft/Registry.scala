@@ -21,6 +21,7 @@ object Registry {
       graft.queries.CrossPlatform.all ++
       graft.queries.Affinity.all ++
       graft.queries.Reco.all ++
+      graft.queries.Virality.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++

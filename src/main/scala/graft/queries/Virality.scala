@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{AsOf, Q}
+import graft.Dims.dimBroadcast
+import graft.functions.det._
+
+/** q65: the fourteenth full reference analysis end-to-end — Social
+  * Network Effects on Content Virality (/root/reference/SQL/Social
+  * Network Effects on Content Virality.txt:1-110; pyspark twin) as
+  * one oracle-checked composition: the behavioral user network
+  * (connection strength from shared contents, shared genres, same
+  * country; ≥ 2 shared contents) → per-content adoption curve
+  * (viewers, adoption days, early adopters within 7 days of first
+  * view, completion, rating) → network spread (reach, connection
+  * strength, virality coefficient) → virality ladder + success score
+  * + top-viewer-geography group-concat.
+  *
+  * Reference → testdata mapping (SURVEY §3): user→l_suppkey,
+  * content→l_partkey (title→p_name, genre→brand number mod 5 per
+  * q63, content_type→first word of p_type), country→supplier
+  * nation, completion→(1−l_discount)·100, rating→(l_orderkey mod
+  * 5)+1 (user_ratings has no testdata equivalent — deterministic
+  * proxy), top_actors→top-3 viewer nation names (content_actors has
+  * no equivalent), signup-window user filter→activity in the asOf
+  * window (no signup date exists).
+  *
+  * Re-designs vs the reference (documented deviations): the
+  * reference builds the network as `users u1 JOIN users u2 ON
+  * u1.user_id != u2.user_id` — an O(|users|²) cross join with six
+  * LEFT JOINs hanging off it. Because qualifying pairs MUST share
+  * ≥ 2 contents (the HAVING), the network is EXACTLY the co-watch
+  * graph: a self-join of distinct (user, content) pairs bucketed by
+  * content, which only materializes pairs that actually co-watched.
+  * Shared genres are NOT self-joined (five genre values would make
+  * that bucket join users²-dense); each pair intersects two bounded
+  * per-user genre sets instead. The strength HAVING (> 0.3) is
+  * mirrored though redundant (sc ≥ 2 ⇒ strength ≥ 1.0). The
+  * adoption HAVINGs are re-banded ≥ 3 viewers / final ≥ 5 (the
+  * reference's 10/50 empties every SF here), and the reference's
+  * computed-but-never-selected total_connections column is dropped
+  * while avg_connection_strength — which it computes and drops — is
+  * kept as an output column so the strength machinery stays
+  * oracle-checked.
+  *
+  * Plan shape at scale: the slim distinct (user, content) frame is
+  * CACHED and reused four ways (both self-join sides, the genre-set
+  * derivation, the viewer→edge join). The content-bucketed pair
+  * join's volume is Σ_c viewers(c)² — the co-watch graph's inherent
+  * size — and every enrichment on the pair frame (genre arrays,
+  * nations) joins a per-user or dim frame. The adoption branch is
+  * the q59 cascade: window min + per-content aggregate over ONE
+  * l_partkey exchange of a single pruned fact scan.
+  */
+object Virality {
+
+  val defaultAsOf: AsOf = AsOf("1997-06-30")
+  val defaultLookbackDays = 365
+
+  def q65For(asOf: AsOf, lookbackDays: Int): Q = {
+    val start = asOf.minusDays(lookbackDays)
+
+    Q.of(
+      "q65_content_virality",
+      s"""WITH w AS (
+        |  SELECT DISTINCT l_suppkey AS u, l_partkey AS c
+        |  FROM lineitem WHERE l_shipdate > ${start.sqlTs} AND l_shipdate <= ${asOf.sqlTs}
+        |), garr AS (
+        |  SELECT u, list_sort(list(DISTINCT 'G' || CAST(CAST(substr(p_brand, 7) AS BIGINT) % 5 AS VARCHAR))) AS genres
+        |  FROM w JOIN part ON p_partkey = c GROUP BY 1
+        |), p0 AS (
+        |  SELECT a.u AS u1, b.u AS u2, count(*) AS shared_contents
+        |  FROM w a JOIN w b ON a.c = b.c AND a.u != b.u
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), un AS (
+        |  SELECT p0.u1, p0.u2,
+        |    CAST(p0.shared_contents AS DOUBLE) * 0.5
+        |      + CAST(len(list_intersect(g1.genres, g2.genres)) AS DOUBLE) * 0.3
+        |      + CASE WHEN s1.s_nationkey = s2.s_nationkey THEN 0.2 ELSE 0.0 END AS connection_strength
+        |  FROM p0
+        |  JOIN garr g1 ON g1.u = p0.u1 JOIN garr g2 ON g2.u = p0.u2
+        |  JOIN supplier s1 ON s1.s_suppkey = p0.u1 JOIN supplier s2 ON s2.s_suppkey = p0.u2
+        |), unf AS (
+        |  SELECT * FROM un WHERE connection_strength > 0.3
+        |), reach AS (
+        |  SELECT w.c,
+        |    CAST(count(DISTINCT un.u2) AS BIGINT) AS network_reach,
+        |    list_sort(list(un.connection_strength)) AS cs_arr
+        |  FROM w JOIN unf un ON un.u1 = w.u GROUP BY 1
+        |), cac AS (
+        |  SELECT l_partkey AS content_id, max(p_name) AS title,
+        |    max('G' || CAST(CAST(substr(p_brand, 7) AS BIGINT) % 5 AS VARCHAR)) AS genre,
+        |    max(split_part(p_type, ' ', 1)) AS content_type,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS total_viewers,
+        |    CAST(count(DISTINCT CASE WHEN l_shipdate <= first_view + INTERVAL 7 DAY
+        |      THEN l_suppkey END) AS BIGINT) AS early_adopters,
+        |    CAST(CAST(SUM(l_orderkey % 5 + 1) AS BIGINT) AS DOUBLE) / count(*) AS avg_rating,
+        |    CAST(SUM(CAST((1.0 - l_discount) * 100 AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_completion,
+        |    array_to_string(list_sort(list(DISTINCT n_name))[1:3], ',') AS top_actors
+        |  FROM (
+        |    SELECT l.*, n_name, min(l.l_shipdate) OVER (PARTITION BY l.l_partkey) AS first_view
+        |    FROM lineitem l
+        |    JOIN supplier s ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
+        |    WHERE l_shipdate > ${start.sqlTs} AND l_shipdate <= ${asOf.sqlTs}
+        |  ) JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 3
+        |), na AS (
+        |  SELECT cac.*,
+        |    COALESCE(r.network_reach, 0) AS reach,
+        |    CASE WHEN r.network_reach IS NOT NULL
+        |      THEN list_reduce(r.cs_arr, (x, y) -> x + y) / CAST(len(r.cs_arr) AS DOUBLE)
+        |    END AS avg_connection_strength,
+        |    CAST(COALESCE(r.network_reach, 0) AS DOUBLE)
+        |      / CAST(GREATEST(total_viewers, 1) AS DOUBLE) AS virality_coefficient
+        |  FROM cac LEFT JOIN reach r ON r.c = cac.content_id
+        |)
+        |SELECT content_id, title, genre, content_type, total_viewers, early_adopters,
+        |  reach AS network_reach, avg_connection_strength, virality_coefficient,
+        |  avg_rating, avg_completion,
+        |  CASE WHEN virality_coefficient > 2.0 THEN 'Highly Viral'
+        |       WHEN virality_coefficient > 1.0 THEN 'Viral'
+        |       WHEN virality_coefficient > 0.5 THEN 'Moderate Spread'
+        |       ELSE 'Limited Spread' END AS virality_category,
+        |  virality_coefficient * 0.3
+        |    + CAST(early_adopters AS DOUBLE) / CAST(GREATEST(total_viewers, 1) AS DOUBLE) * 0.2
+        |    + COALESCE(avg_rating, CAST(0 AS DOUBLE)) / 5 * 0.3
+        |    + avg_completion / 100 * 0.2 AS success_score,
+        |  top_actors
+        |FROM na WHERE total_viewers >= 5
+        |ORDER BY virality_coefficient DESC, success_score DESC, content_id""".stripMargin) { t =>
+      val genreOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        brand => concat(lit("G"), (substring(brand, 7, 10).cast("long") % 5).cast("string"))
+
+      val w = graft.CacheScope.trackedCache(t.lineitem
+        .filter(col("l_shipdate") > start.tsLit && col("l_shipdate") <= asOf.tsLit)
+        .select(col("l_suppkey").as("u"), col("l_partkey").as("c"))
+        .distinct())
+
+      val garr = w
+        .join(dimBroadcast(t.part.select(col("p_partkey"),
+          genreOf(col("p_brand")).as("g"))), col("p_partkey") === col("c"))
+        .groupBy(col("u")).agg(sort_array(collect_set(col("g"))).as("genres"))
+
+      val p0 = w.select(col("u").as("u1"), col("c"))
+        .join(w.select(col("u").as("u2"), col("c").as("c2")),
+          col("c") === col("c2") && col("u1") =!= col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("shared_contents"))
+        .filter(col("shared_contents") >= 2)
+
+      val supNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      val un = p0
+        .join(garr.select(col("u").as("gu1"), col("genres").as("genres1")),
+          col("gu1") === col("u1"))
+        .join(garr.select(col("u").as("gu2"), col("genres").as("genres2")),
+          col("gu2") === col("u2"))
+        .join(dimBroadcast(supNation.select(col("s_suppkey").as("sk1"),
+          col("s_nationkey").as("nk1"))), col("sk1") === col("u1"))
+        .join(dimBroadcast(supNation.select(col("s_suppkey").as("sk2"),
+          col("s_nationkey").as("nk2"))), col("sk2") === col("u2"))
+        .select(col("u1"), col("u2"),
+          (col("shared_contents").cast("double") * 0.5 +
+            size(array_intersect(col("genres1"), col("genres2"))).cast("double") * 0.3 +
+            when(col("nk1") === col("nk2"), 0.2).otherwise(0.0))
+            .as("connection_strength"))
+        .filter(col("connection_strength") > 0.3)
+
+      val reach = w.join(un, col("u1") === col("u"))
+        .groupBy(col("c").as("rc"))
+        .agg(size(collect_set(col("u2"))).cast("long").as("network_reach"),
+          sort_array(collect_list(col("connection_strength"))).as("cs_arr"))
+
+      val byContent = Window.partitionBy(col("l_partkey"))
+      val cac = t.lineitem
+        .filter(col("l_shipdate") > start.tsLit && col("l_shipdate") <= asOf.tsLit)
+        .join(dimBroadcast(supNation), col("s_suppkey") === col("l_suppkey"))
+        .join(dimBroadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .withColumn("first_view", min(col("l_shipdate")).over(byContent))
+        .join(dimBroadcast(t.part.select(col("p_partkey"), col("p_name"),
+          genreOf(col("p_brand")).as("genre"),
+          split(col("p_type"), " ").getItem(0).as("content_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey").as("content_id"))
+        .agg(
+          max(col("p_name")).as("title"),
+          max(col("genre")).as("genre"),
+          max(col("content_type")).as("content_type"),
+          size(collect_set(col("l_suppkey"))).cast("long").as("total_viewers"),
+          size(collect_set(when(
+            col("l_shipdate") <= col("first_view") + expr("INTERVAL 7 DAY"),
+            col("l_suppkey")))).cast("long").as("early_adopters"),
+          (sum(col("l_orderkey") % 5 + 1).cast("double") / count(lit(1)))
+            .as("avg_rating"),
+          (sum(((lit(1.0) - col("l_discount")) * 100).cast(D20_6)).cast("double") /
+            count(lit(1))).as("avg_completion"),
+          array_join(slice(sort_array(collect_set(col("n_name"))), 1, 3), ",")
+            .as("top_actors"))
+        .filter(col("total_viewers") >= 3)
+
+      cac.join(reach, col("rc") === col("content_id"), "left")
+        .withColumn("network_reach", coalesce(col("network_reach"), lit(0L)))
+        .withColumn("avg_connection_strength",
+          when(col("cs_arr").isNotNull,
+            aggregate(col("cs_arr"), lit(0.0), (a, x) => a + x) /
+              size(col("cs_arr")).cast("double")))
+        .withColumn("virality_coefficient",
+          col("network_reach").cast("double") /
+            greatest(col("total_viewers"), lit(1L)).cast("double"))
+        .withColumn("virality_category",
+          when(col("virality_coefficient") > 2.0, "Highly Viral")
+            .when(col("virality_coefficient") > 1.0, "Viral")
+            .when(col("virality_coefficient") > 0.5, "Moderate Spread")
+            .otherwise("Limited Spread"))
+        .withColumn("success_score",
+          col("virality_coefficient") * 0.3 +
+            col("early_adopters").cast("double") /
+              greatest(col("total_viewers"), lit(1L)).cast("double") * 0.2 +
+            coalesce(col("avg_rating"), lit(0).cast("double")) / 5 * 0.3 +
+            col("avg_completion") / 100 * 0.2)
+        .filter(col("total_viewers") >= 5)
+        .select(col("content_id"), col("title"), col("genre"), col("content_type"),
+          col("total_viewers"), col("early_adopters"), col("network_reach"),
+          col("avg_connection_strength"), col("virality_coefficient"),
+          col("avg_rating"), col("avg_completion"), col("virality_category"),
+          col("success_score"), col("top_actors"))
+        .orderBy(col("virality_coefficient").desc, col("success_score").desc,
+          col("content_id"))
+    }
+  }
+
+  val q65: Q = q65For(defaultAsOf, defaultLookbackDays)
+
+  def all: Seq[Q] = Seq(q65)
+}

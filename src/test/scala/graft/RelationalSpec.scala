@@ -348,6 +348,23 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("q65: co-watch graph (no users-squared cross join), shared frame cached") {
+    val df = run("q65_content_virality")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    // the user network must come from the content-bucketed self-join of
+    // the cached (user, content) frame — never a users x users cross join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"network built via a cross join:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"(user, content) frame not cached:\n$p")
+    val p2 = planWithCachedOf(
+      graft.queries.Virality.q65For(AsOf("1996-06-30"), 180).run(spark, sfDir))
+    assert(p2.contains("1996-06-30") && p2.contains("1996-01-02"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
