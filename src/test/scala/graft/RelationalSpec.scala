@@ -365,6 +365,29 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
   }
 
+  test("q66: the windowed cascade reuses one fam repartition across all levels") {
+    val df = run("q66_family_usage")
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("EqualTo(event_type,view") || p.contains("event_type"),
+      s"event_type filter not pushed:\n$p")
+    // the (fam, k, day) -> (fam, k) -> fam aggregate levels and the
+    // genre-ranking window all require only fam clustering, so the
+    // windowed branch exchanges exactly once on fam (the explicit
+    // repartition); the roster branch exchanges once on (fam, prof)+fam
+    val famOnly = shuffles(df).count { s =>
+      val part = s.outputPartitioning.toString
+      part.contains("fam") && !part.contains("prof")
+    }
+    assert(famOnly <= 2, s"cascade re-shuffled on fam, got $famOnly fam exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation dims not broadcast:\n$p")
+    val p2 = planOf(
+      graft.queries.Family.q66For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("dimBroadcast: hints under the bound, degrades to a shuffle join above it") {
     // under the bound (every SF here): the hint is applied, so the
     // star join broadcasts even with auto-broadcast disabled
