@@ -37,8 +37,11 @@ object Dims {
     * configured bound; `df` untouched (AQE decides) otherwise.
     */
   def dimBroadcast(df: DataFrame): DataFrame = {
-    val max = df.sparkSession.conf.getOption(confKey)
-      .map(_.toLong).getOrElse(defaultMaxBytes)
+    val max = df.sparkSession.conf.getOption(confKey).map { v =>
+      scala.util.Try(v.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"$confKey must be a long byte count, got '$v'"))
+    }.getOrElse(defaultMaxBytes)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= max) broadcast(df) else df
   }
 }

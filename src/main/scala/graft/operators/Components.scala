@@ -111,6 +111,14 @@ object Components {
       converged = cur.compareTo(prev) == 0
       prev = cur
     }
+    // Pointer jumping makes maxRounds (default 64 ~ diameter 2^64)
+    // effectively unreachable, but exiting here unconverged would mean
+    // callers (dropNearDups/q45) silently keep WRONG survivors — fail
+    // loudly instead of corrupting data.
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.labelWithStats: not converged after $maxRounds rounds; " +
+          "raise maxRounds (labels were still changing)")
     (labels, rounds)
   }
 

@@ -47,18 +47,51 @@ import graft.functions.det._
   * Plan shape at scale: the slim distinct (user, content) frame is
   * CACHED and reused four ways (both self-join sides, the genre-set
   * derivation, the viewer→edge join). The content-bucketed pair
-  * join's volume is Σ_c viewers(c)² — the co-watch graph's inherent
-  * size — and every enrichment on the pair frame (genre arrays,
-  * nations) joins a per-user or dim frame. The adoption branch is
-  * the q59 cascade: window min + per-content aggregate over ONE
-  * l_partkey exchange of a single pruned fact scan.
+  * join's raw volume is Σ_c viewers(c)² — skew-QUADRATIC in the
+  * hottest content (one 1M-viewer hit at 100× scale is 10¹² pairs
+  * from a single key), so pair generation is BOUNDED: each content
+  * contributes only its top-[[defaultPairCap]] most-active viewers
+  * (activity = distinct contents watched in the window; ties broken
+  * by user id — deterministic) to the self-join, capping any key at
+  * cap² pairs and the whole stage at |contents|·cap². The cap is a
+  * parameter of [[q65For]]; at every test SF it sits far above the
+  * measured max viewers-per-content (15 at sf0.1), so capped ≡
+  * uncapped EXACTLY and the uncapped DuckDB oracle still applies —
+  * both pinned in ScaleSpec. The capping rank window partitions by
+  * the same content key the self-join shuffles on, so it rides the
+  * pair join's exchange. Every enrichment on the pair frame (genre
+  * arrays, nations) joins a per-user or dim frame. The adoption
+  * branch is the q59 cascade: window min + per-content aggregate
+  * over ONE l_partkey exchange of a single pruned fact scan.
   */
 object Virality {
 
   val defaultAsOf: AsOf = AsOf("1997-06-30")
   val defaultLookbackDays = 365
 
-  def q65For(asOf: AsOf, lookbackDays: Int): Q = {
+  /** Per-content cap on pair-join contributors. 64 ⇒ ≤4096 pairs per
+    * content key however hot it gets; > 4× the max viewers-per-content
+    * observed at sf0.1 (15), so the bound is inactive at test scale.
+    */
+  val defaultPairCap = 64
+
+  /** The windowed distinct (user, content) frame restricted to each
+    * content's top-`cap` most-active viewers (activity = windowed
+    * distinct contents; ties broken by ascending user id). The
+    * skew-bound gate of the co-watch pair join — its output is the
+    * pair join's input, so raw pair volume is ≤ |contents|·cap².
+    */
+  def cappedViewers(w: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    val act = w.groupBy(col("u")).agg(count(lit(1)).as("graft_activity"))
+    w.join(act, "u")
+      .withColumn("graft_vrank", row_number().over(
+        Window.partitionBy(col("c"))
+          .orderBy(col("graft_activity").desc, col("u"))))
+      .filter(col("graft_vrank") <= cap)
+      .select(col("u"), col("c"))
+  }
+
+  def q65For(asOf: AsOf, lookbackDays: Int, pairCap: Int = defaultPairCap): Q = {
     val start = asOf.minusDays(lookbackDays)
 
     Q.of(
@@ -142,8 +175,9 @@ object Virality {
           genreOf(col("p_brand")).as("g"))), col("p_partkey") === col("c"))
         .groupBy(col("u")).agg(sort_array(collect_set(col("g"))).as("genres"))
 
-      val p0 = w.select(col("u").as("u1"), col("c"))
-        .join(w.select(col("u").as("u2"), col("c").as("c2")),
+      val wc = cappedViewers(w, pairCap)
+      val p0 = wc.select(col("u").as("u1"), col("c"))
+        .join(wc.select(col("u").as("u2"), col("c").as("c2")),
           col("c") === col("c2") && col("u1") =!= col("u2"))
         .groupBy(col("u1"), col("u2"))
         .agg(count(lit(1)).as("shared_contents"))

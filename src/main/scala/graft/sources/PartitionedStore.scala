@@ -43,6 +43,15 @@ object PartitionedStore {
     * converges to exactly-once output without relying on dynamic
     * partition overwrite being total (a replay that planned fewer
     * inner partitions would otherwise leave orphans behind).
+    *
+    * Concurrency contract: the delete-then-append replay is NOT atomic
+    * — a reader scanning the store between the delete and the rewrite
+    * sees the batch missing or partial. The sink is designed for the
+    * drain-then-read pattern (`Trigger.AvailableNow`, readers start
+    * after the stream drains, as StreamingSpec exercises). Continuous
+    * readers need an atomic-rename layout (write the batch tree to a
+    * temp dir, rename into place — rename is atomic on HDFS/POSIX but
+    * NOT on S3) or a manifest-commit table format; out of scope here.
     */
   def writeBatch(df: DataFrame, path: String, partitionCols: Seq[String],
       batchId: Long): Unit = {

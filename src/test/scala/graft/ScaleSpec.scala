@@ -114,4 +114,41 @@ class ScaleSpec extends SparkSpec {
     assert(perDoc2 <= 2.0 * perDoc1,
       f"verify volume superlinear: $perDoc1%.3f -> $perDoc2%.3f pairs/doc over 10x")
   }
+
+  test("q65 pair cap bounds co-watch volume per content; inactive at test scale") {
+    import graft.queries.Virality
+    val asOf = AsOf("1997-06-30")
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val w = t.lineitem
+      .filter(col("l_shipdate") > asOf.minusDays(365).tsLit &&
+        col("l_shipdate") <= asOf.tsLit)
+      .select(col("l_suppkey").as("u"), col("l_partkey").as("c"))
+      .distinct()
+      .cache()
+    try {
+      val contents = w.select("c").distinct().count()
+      val maxViewers = w.groupBy("c").count().agg(max("count")).head.getLong(0)
+      info(s"sf0.01: $contents contents, max $maxViewers viewers/content, " +
+        s"default cap ${Virality.defaultPairCap}")
+      // the default cap must sit above the densest content at test SF,
+      // otherwise capped != uncapped and the exact oracle breaks
+      assert(Virality.defaultPairCap > maxViewers,
+        s"default pair cap ${Virality.defaultPairCap} not above max viewers $maxViewers")
+      // an ACTIVE cap bounds raw pair volume at |contents| * cap^2 even
+      // though the data is denser than the cap everywhere it applies
+      val cap = 3
+      val wc = Virality.cappedViewers(w, cap)
+      val rawPairs = wc.select(col("u").as("u1"), col("c"))
+        .join(wc.select(col("u").as("u2"), col("c").as("c2")),
+          col("c") === col("c2") && col("u1") =!= col("u2"))
+        .count()
+      assert(rawPairs <= contents * cap * cap,
+        s"capped pair volume $rawPairs exceeds |contents|*cap^2 = ${contents * cap * cap}")
+      assert(rawPairs > 0, "cap of 3 produced no pairs; fixture degenerate")
+      // cap above the max viewer count is a no-op: cappedViewers == w
+      val capped = Virality.cappedViewers(w, Virality.defaultPairCap)
+      assert(capped.exceptAll(w).isEmpty && w.exceptAll(capped).isEmpty,
+        "default cap altered the viewer frame at test SF")
+    } finally w.unpersist()
+  }
 }
