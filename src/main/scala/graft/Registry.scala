@@ -22,6 +22,7 @@ object Registry {
       graft.queries.Affinity.all ++
       graft.queries.Reco.all ++
       graft.queries.Virality.all ++
+      graft.queries.Competitive.all ++
       graft.queries.Family.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++

@@ -468,6 +468,32 @@ class RelationalSpec extends SparkSpec {
     assert(aggBelow, s"lineitem aggregate not below the outer join:\n$p")
   }
 
+  test("q67: one fact scan, benchmark cells broadcast, asOf re-plans the window") {
+    val df = run("q67_competitive_benchmark")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    // the per-content frame is cached and reused by the industry and
+    // platform slices — the fact is scanned exactly once
+    assert(p.contains("InMemoryTableScan"), s"per-content frame not cached:\n$p")
+    val factScans = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.isEmpty && s.toString.contains("lineitem") => s
+    }
+    assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}:\n$p")
+    // benchmark cells (<=90 rows), genre-max arrays, and budget arrays
+    // all broadcast onto the platform frame; part dim broadcast too
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"benchmark/enrichment joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cross join:\n$p")
+    val p2 = planOf(
+      graft.queries.Competitive.q67For(AsOf("1996-06-30"), 180).run(spark, sfDir))
+    assert(p2.contains("1996-06-30") && p2.contains("1996-01-02"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

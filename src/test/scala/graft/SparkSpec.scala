@@ -87,11 +87,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def physicalNodesWithCached(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val seen = scala.collection.mutable.Set[Int]()
-    physicalNodes(df).flatMap {
-      case m: InMemoryTableScanExec if seen.add(System.identityHashCode(m.relation.cacheBuilder)) =>
-        m +: walkPlan(m.relation.cachedPlan)
-      case other => Seq(other)
-    }
+    // worklist so NESTED caches (a tracked cache built over another
+    // tracked cache, e.g. q67's scored frame over the per-content
+    // frame) are descended into as well, each distinct cache once
+    def expand(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      nodes.flatMap {
+        case m: InMemoryTableScanExec if seen.add(System.identityHashCode(m.relation.cacheBuilder)) =>
+          m +: expand(walkPlan(m.relation.cachedPlan))
+        case other => Seq(other)
+      }
+    expand(physicalNodes(df))
   }
 
   override def afterAll(): Unit = {
