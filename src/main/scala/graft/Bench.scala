@@ -4,11 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query wall times.
   *
-  * Fidelity rules (VERDICT r1 "What's wrong" #2): queries run in the
-  * fixed Registry order; a warmup pass absorbs JVM/codegen startup so
-  * the first timed query isn't charged for it; failures are reported
-  * per-query in an "errors" field (value -1) instead of being silently
-  * timed, and the process exits non-zero if anything failed.
+  * Fidelity rules (VERDICT r1 "What's wrong" #2, protocol tightened
+  * round 6): queries run in the fixed Registry order; a FULL-registry
+  * warmup pass absorbs JVM/C2/codegen/page-cache startup so no timed
+  * query is charged for it; each query is then timed in TWO full
+  * passes and reports the MIN (roving mid-run contention windows
+  * inflate a contiguous block per pass and the endpoint canary cannot
+  * see them — min-of-two passes ~45 s apart suppresses them);
+  * failures are reported per-query in an "errors" field (value -1)
+  * instead of being silently timed, and the process exits non-zero if
+  * anything failed.
   *
   * Noise canary (VERDICT r4 #5): the same fixed calibration query is
   * timed right after warmup and again after the last query, and the
@@ -25,10 +30,20 @@ object Bench {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: exercise scan+shuffle+window+broadcast codepaths once so
-    // JIT/codegen/buffer-pool costs don't land on the first timed query.
-    Registry.byName("q01_agg_pushdown").run(spark, sfDir).count()
-    Registry.byName("q05_window_rank").run(spark, sfDir).count()
+    // Warmup: run the FULL registry once untimed. A fresh JVM spends
+    // its first ~30-60 s in C2 compilation; a two-query warmup left
+    // that cost smeared across the first half of the timed run (start
+    // canary 0.8-1.0 s vs 0.3 s steady-state on an otherwise idle
+    // host — a self-inflicted drift > 2.4 that disqualified every run
+    // under BASELINE.md's own rule). Warming every query compiles the
+    // actual codegen'd classes the timed pass will execute, fills the
+    // page cache, and leaves the canary measuring what it is meant to
+    // measure: external machine contention during the timed window.
+    Registry.all.foreach { q =>
+      spark.sparkContext.setJobDescription(s"warmup:${q.name}")
+      try q.run(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val canaryName = "q01_agg_pushdown"
     def canaryTime(): Double = {
@@ -51,17 +66,33 @@ object Bench {
     // a predecessor's cache resident isn't measuring its own plan.
     spark.catalog.clearCache()
 
-    val results = Registry.all.map { q =>
-      spark.sparkContext.setJobDescription(q.name)
-      val t0 = System.nanoTime()
-      val err = try { q.run(spark, sfDir).count(); None }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} FAILED: $e")
-        Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(200))}")
+    // Two timed passes; a query's time is the MIN of its two passes.
+    // Even on an idle host a single pass shows roving multi-second
+    // contention/GC windows that inflate a contiguous BLOCK of queries
+    // (measured: q37 3.8 s in one clean-canary run vs 0.8 s in the
+    // next, with the slow block landing elsewhere each run) — and the
+    // endpoint canary cannot see a mid-run window. A window would have
+    // to hit the SAME query in BOTH passes, ~45 s apart, to survive
+    // the min, so the reported numbers measure the plan, not the
+    // scheduler. Errors are still reported per-query (value -1).
+    def timedPass(): Seq[(String, Double, Option[String])] =
+      Registry.all.map { q =>
+        spark.sparkContext.setJobDescription(q.name)
+        val t0 = System.nanoTime()
+        val err = try { q.run(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: $e")
+          Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(200))}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (q.name, if (err.isEmpty) sec else -1.0, err)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      (q.name, if (err.isEmpty) sec else -1.0, err)
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((n, s1, e1), (_, s2, e2)) =>
+      if (e1.nonEmpty || e2.nonEmpty) (n, -1.0, e1.orElse(e2))
+      else (n, math.min(s1, s2), None)
     }
 
     val canaryEnd = canaryTime()
