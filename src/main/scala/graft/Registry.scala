@@ -23,6 +23,7 @@ object Registry {
       graft.queries.Reco.all ++
       graft.queries.Virality.all ++
       graft.queries.Competitive.all ++
+      graft.queries.Roi.all ++
       graft.queries.Family.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++

@@ -494,6 +494,38 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
   }
 
+  test("q68: one fact scan, one content exchange feeds attribution + break-even + bridge") {
+    val df = run("q68_production_roi")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    // the windowed viewing frame is cached once and fans out to the
+    // per-(content, user) attribution aggregate, the per-content
+    // roll-up, the per-day break-even cumsum, and the actor bridge —
+    // the fact parquet is scanned exactly once
+    assert(p.contains("InMemoryTableScan"), s"viewing frame not cached:\n$p")
+    val factScans = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.isEmpty && s.toString.contains("lineitem") => s
+    }
+    assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}:\n$p")
+    // everything downstream of the added_date window rides ONE
+    // content_id exchange (subset clustering): pcu/cp/pday/pcum/be/
+    // bridge add no further fact-sized shuffle
+    val contentExchanges = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("content_id") => s
+    }
+    assert(contentExchanges.size == 1,
+      s"expected 1 content_id exchange, got ${contentExchanges.size}:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
+    val p2 = planOf(
+      graft.queries.Roi.q68For(AsOf("1996-06-30"), 180).run(spark, sfDir))
+    assert(p2.contains("1996-06-30") && p2.contains("1996-01-02"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("1995-01-01"), "plan still carries the default asOf literal")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
