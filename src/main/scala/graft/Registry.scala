@@ -24,6 +24,7 @@ object Registry {
       graft.queries.Virality.all ++
       graft.queries.Competitive.all ++
       graft.queries.Roi.all ++
+      graft.queries.Personalization.all ++
       graft.queries.Family.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++

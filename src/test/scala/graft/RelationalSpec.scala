@@ -526,6 +526,34 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("1995-01-01"), "plan still carries the default asOf literal")
   }
 
+  test("q69: type-pruned scans, impression aggregate reuses the join's user clustering") {
+    val df = run("q69_personalization_effect")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("event_type"), s"event_type filter not pushed:\n$p")
+    // impression and view branches each exchange ONCE on user_id for
+    // the co-partitioned LEFT join; the per-impression attribution
+    // aggregate groups by (user_id, event_id, ...) and must REUSE that
+    // clustering — a third user exchange would mean the fused
+    // aggregate re-shuffled the pairs (q64's rule; AQE may broadcast
+    // the smaller side at spec SF, dropping below 2)
+    val userExchanges = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("user_id") => s
+    }
+    assert(userExchanges.size <= 2,
+      s"expected <=2 user_id exchanges (join sides only), got ${userExchanges.size}:\n$p")
+    // per-impression outcome frame is cached and reused by the
+    // effectiveness cells and the v3.2 engagement-quality frame
+    assert(p.contains("InMemoryTableScan"), s"outcome frame not cached:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
+    val p2 = planOf(
+      graft.queries.Personalization.q69For(AsOf("2024-01-20"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-20") && p2.contains("2024-01-10"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
