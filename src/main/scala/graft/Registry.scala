@@ -25,6 +25,7 @@ object Registry {
       graft.queries.Competitive.all ++
       graft.queries.Roi.all ++
       graft.queries.Personalization.all ++
+      graft.queries.AbTest.all ++
       graft.queries.Family.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++

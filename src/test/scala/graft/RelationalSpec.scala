@@ -554,6 +554,30 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("q74: view branch rides one user exchange through windows + per-user aggregate") {
+    val df = run("q74_ab_test")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("event_type"), s"event_type filter not pushed:\n$p")
+    // the view branch computes the per-(user, content) first-view min,
+    // the per-user lead gap, and the per-user metrics aggregate — all
+    // on ONE user_id exchange (subset clustering); pop and purchase
+    // branches add one each, and the 6-row statistical frame is cached
+    val userExchanges = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("user_id") => s
+    }
+    assert(userExchanges.size <= 3,
+      s"expected <=3 user_id exchanges (one per branch), got ${userExchanges.size}:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"statistical frame not cached:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
+    val p2 = planOf(
+      graft.queries.AbTest.q74For(AsOf("2024-01-21"), 10).run(spark, sfDir))
+    assert(p2.contains("2024-01-21") && p2.contains("2024-01-11"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
