@@ -26,6 +26,7 @@ object Registry {
       graft.queries.Roi.all ++
       graft.queries.Personalization.all ++
       graft.queries.AbTest.all ++
+      graft.queries.Predictive.all ++
       graft.queries.Family.all ++
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++

@@ -578,6 +578,32 @@ class RelationalSpec extends SparkSpec {
     assert(!p2.contains("2024-01-31"), "plan still carries the default asOf literal")
   }
 
+  test("q75: one fact scan, bridge rank rides the content clustering, history broadcast") {
+    val df = run("q75_predictive_features")
+    df.collect()
+    val p = planWithCachedOf(df)
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate window not pushed:\n$p")
+    // the cached viewing frame feeds the per-content roll-up, the
+    // top-3 actor bridge (rank window on the same content clustering),
+    // and the genre-year history tag join — one fact parquet scan
+    assert(p.contains("InMemoryTableScan"), s"viewing frame not cached:\n$p")
+    val factScans = physicalNodesWithCached(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.isEmpty && s.toString.contains("lineitem") => s
+    }
+    assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}:\n$p")
+    // the actor co-occurrence self-join must be an equi-join on
+    // actor_id over the capped (content, actor) bridge — never a
+    // contents-squared cross join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"actor pair generation degraded to a cross join:\n$p")
+    val p2 = planOf(
+      graft.queries.Predictive.q75For(AsOf("1996-12-31"), 365).run(spark, sfDir))
+    assert(p2.contains("1996-12-31") && p2.contains("1996-01-01"),
+      "re-parameterized window literals not in the plan")
+    assert(!p2.contains("1997-06-30"), "plan still carries the default asOf literal")
+  }
+
   test("q50: query set is broadcast, candidates never shuffle before top-k") {
     val p = planOf(run("q50_ann_bruteforce"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
