@@ -102,14 +102,15 @@ object Predictive {
         |      row_number() OVER (PARTITION BY content_id ORDER BY count(*) DESC, actor_id) AS rk
         |    FROM va GROUP BY 1, 2
         |  ) WHERE rk <= 3
-        |), apairs AS (
-        |  SELECT DISTINCT b1.content_id, b2.content_id AS other_id
-        |  FROM bridge b1 JOIN bridge b2 ON b2.actor_id = b1.actor_id AND b2.content_id != b1.content_id
         |), af AS (
         |  SELECT content_id,
-        |    CAST(SUM(CAST(CAST(other_id % 56 AS DOUBLE) / CAST(10 AS DOUBLE) + CAST(3.5 AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
-        |      / count(*) AS actor_avg_rating
-        |  FROM apairs GROUP BY 1
+        |    list_reduce(list_transform(others, x -> CAST(x % 56 AS DOUBLE) / CAST(10 AS DOUBLE) + CAST(3.5 AS DOUBLE)), (a, b) -> a + b)
+        |      / CAST(len(others) AS DOUBLE) AS actor_avg_rating
+        |  FROM (
+        |    SELECT b1.content_id, list_sort(list(DISTINCT b2.content_id)) AS others
+        |    FROM bridge b1 JOIN bridge b2 ON b2.actor_id = b1.actor_id AND b2.content_id != b1.content_id
+        |    GROUP BY 1
+        |  )
         |), gy AS (
         |  SELECT genre, release_year,
         |    SUM(comp_sum) OVER (PARTITION BY genre ORDER BY release_year
@@ -226,16 +227,23 @@ object Predictive {
         .filter(col("rk") <= 3)
         .select(col("content_id"), col("actor_id"))
 
-      val apairs = bridge
+      // pair dedup folds into the per-content collect_set (one
+      // content_id exchange shipping bounded ~180-id sets) instead of
+      // a distinct over the materialized pair frame (which cost a
+      // second full exchange on (content, other) — 3.6M rows at
+      // sf0.1); the rating average is a sorted-array fold, identical
+      // expression on both engines
+      val af = bridge
         .join(bridge.select(col("actor_id"), col("content_id").as("other_id")),
           Seq("actor_id"))
         .filter(col("other_id") =!= col("content_id"))
-        .select(col("content_id"), col("other_id")).distinct()
-
-      val af = apairs.groupBy(col("content_id"))
-        .agg((sum(((col("other_id") % 56).cast("double") / lit(10).cast("double") +
-          lit(3.5).cast("double")).cast(D20_6)).cast("double") / count(lit(1)))
-          .as("actor_avg_rating"))
+        .groupBy(col("content_id"))
+        .agg(sort_array(collect_set(col("other_id"))).as("others"))
+        .select(col("content_id"),
+          (aggregate(transform(col("others"),
+            x => (x % 56).cast("double") / lit(10).cast("double") + lit(3.5).cast("double")),
+            lit(0.0), (a, b) => a + b) / size(col("others")).cast("double"))
+            .as("actor_avg_rating"))
 
       val gyWin = Window.partitionBy(col("genre")).orderBy(col("release_year"))
         .rangeBetween(-5, -1)
