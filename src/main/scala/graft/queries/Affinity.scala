@@ -33,8 +33,11 @@ import graft.functions.det._
   * is ~28) and the network HAVING to ≥ 2 users (q58's rule). The
   * final content-gap subquery counts secondary-genre contents not
   * yet watched by this pair's users (the reference counts contents
-  * not sharing actors via the content_actors table, which has no
-  * testdata equivalent); the opportunity subquery (qualifying
+  * not sharing actors via the content_actors table; q75 now derives
+  * a real content_actors-shaped bridge — top-3 suppliers per content
+  * from the fact, see Predictive.scala — but this query keeps the
+  * not-yet-watched form, which is the semantically closer gap measure
+  * for genre pairs); the opportunity subquery (qualifying
   * primary-genre users) is exact. Pair rows are unique per
   * (profile, g1, g2) by construction, so the reference's
   * COUNT(DISTINCT profile_id) is written as count(*) on both sides.
