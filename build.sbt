@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap at its max: without -Xms the heap grows on demand and
+  // GC ergonomics vary with each JVM's growth history — one source of
+  // the per-JVM timing bimodality documented in BASELINE.md.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits methods past HotSpot's 8000-byte huge-
+  // method threshold; by default C2 refuses those and the hot loop
+  // stays interpreted. Standard JVM tuning for Spark SQL workloads.
+  "-XX:-DontCompileHugeMethods",
 )
