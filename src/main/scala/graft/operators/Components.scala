@@ -138,16 +138,20 @@ object Components {
       }
       x
     }
+    // node coverage must match the distributed path ("every id that
+    // appears in pairs"): deriving nodes from parent.keys would drop
+    // ids whose only edges are self-loops (no union ever records them)
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
     edges.select(col("src"), col("dst")).collect().foreach { r =>
-      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      seen(a) = (); seen(b) = ()
+      val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent(rb) = ra
       else if (rb < ra) parent(ra) = rb
     }
     val spark = edges.sparkSession
     import spark.implicits._
-    val keys = parent.keys.toArray
-    val nodes = (keys ++ keys.map(find)).distinct // roots themselves included
-    nodes.map(x => (x, find(x))).toSeq.toDF("id", "label")
+    seen.keys.toArray.map(x => (x, find(x))).toSeq.toDF("id", "label")
   }
 
   /** [[labelWithStats]] without the round count. */
