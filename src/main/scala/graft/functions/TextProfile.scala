@@ -20,13 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `n_punct`      — matches of `[^a-z0-9 ]` (per character)
   *   - `en/de/es/fr_hits` — matches of `\b(stop|words|…)\b` per language
   *
-  * Semantics are exactly the Java-regex counts the composed form
-  * produced (TextSpec pins fused ≡ regex on hostile inputs): `\s` is
-  * ASCII `[ \t\n\x0B\f\r]`, `\b` is the ASCII `\w = [A-Za-z0-9_]`
-  * boundary, so a stopword hit is precisely a maximal word-char run
-  * equal to the (lowercase) stopword. Multi-byte characters count as
-  * single non-ws/non-word characters (UTF-8 continuation bytes are
-  * skipped), matching Java's per-character classes.
+  * Semantics are the regex counts the composed form produced (TextSpec
+  * pins fused ≡ regex on hostile AND fixed-seed random inputs): `\s`
+  * is ASCII `[ \t\n\x0B\f\r]`, and the stopword boundary is the ASCII
+  * `\w = [A-Za-z0-9_]` boundary, so a stopword hit is precisely a
+  * maximal ASCII-word-char run equal to the (lowercase) stopword.
+  * Multi-byte characters count as single non-ws/non-word characters
+  * (UTF-8 continuation bytes are skipped). NOTE: this is the
+  * DuckDB/RE2 `\b` (the oracle's semantics); Java's `\b` is
+  * Unicode-aware, so it disagrees exactly when a stopword abuts a
+  * multibyte letter (`日der` has a Java boundary nowhere, an ASCII
+  * boundary before the `d`) — the TextSpec random sweep mirrors the
+  * ASCII boundary with explicit lookarounds for that reason.
   *
   * Why native: the composed form ran eight `regexp_extract_all` calls
   * per row, each allocating an array of every match just to take its

@@ -87,6 +87,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("TextProfile fused pass ≡ the regex stack on random inputs (fixed seed)") {
+    import spark.implicits._
+    // random sweep over an alphabet engineered to hit every class
+    // transition: word chars (both cases), digits, underscore, all five
+    // whitespace kinds, ASCII punct, multibyte chars, and whole
+    // stopwords (incl. cross-language ones) glued with varying joiners
+    val rnd = new scala.util.Random(101)
+    val atoms = Seq("the", "a", "es", "y", "der", "und", "le", "est", "in", "is",
+      "theory", "x", "X", "_", "5", "42", "!", ".", "#", "café", "日", " ",
+      "\t", "\n", "\r", "", "\f", "ab", "AB", "a_b", "9to5")
+    val cases = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    }.distinct
+    // the stopword boundary is the ASCII [A-Za-z0-9_] one — the
+    // semantics of the DuckDB/RE2 oracle and of the fused pass. Java's
+    // \b is Unicode-aware (a stopword glued to 日 or é has no Java
+    // boundary), so the mirror spells the ASCII boundary out with
+    // lookarounds instead of \b — this sweep is what caught the
+    // difference.
+    def ascii(words: String) = s"(?<![a-zA-Z0-9_])($words)(?![a-zA-Z0-9_])"
+    val pats = Seq(
+      "\\S+", "[a-z]+|[0-9]+|[^a-z0-9\\s]", "[^a-z0-9 ]",
+      ascii("the|a|and|of|to|in|is"), ascii("der|die|das|und|ist|nicht|ein"),
+      ascii("el|los|las|una|es|y|que"), ascii("le|les|des|et|est|une|dans"))
+    val p = graft.functions.TextProfile(col("text"))
+    val fields = Seq("n_ws_tokens", "n_bpe_tokens", "n_punct",
+      "en_hits", "de_hits", "es_hits", "fr_hits")
+    val rows = cases.toDF("text").select(col("text"),
+      struct(fields.map(f => p.getField(f).as(f)): _*).as("fused"),
+      struct(pats.zip(fields).map { case (pat, f) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(f)
+      }: _*).as("regex")).collect()
+    for (r <- rows) {
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"fused=${r.getStruct(1)} regex=${r.getStruct(2)} for text '${r.getString(0)}'")
+    }
+  }
+
   test("q38 optional near-dup stage drops exactly the non-survivor members") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Components, Dedup => D}
