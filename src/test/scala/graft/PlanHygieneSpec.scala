@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.LocalTableScanExec
+
+/** Registry-wide plan-hygiene sweep: structural scale rules asserted
+  * over EVERY registered query's physical plan at once, so a future
+  * query (or a Catalyst behavior change under a Spark upgrade) cannot
+  * quietly introduce an all-pairs join. Complements the per-query
+  * plan specs, which pin each query's OWN shape; this pins the floor
+  * every plan must clear.
+  *
+  * Rules (SURVEY §5):
+  *  1. No CartesianProductExec anywhere — a range/similarity predicate
+  *     that degrades to a cartesian scan is the canonical 100 TB
+  *     killer.
+  *  2. A BroadcastNestedLoopJoinExec is legal ONLY when its broadcast
+  *     side is provably tiny at plan time: a global (ungrouped)
+  *     aggregate — one row by construction — or a literal local
+  *     relation (VALUES rate cards, seasonal multiplier tables). The
+  *     share-of-total crossJoin(broadcast(agg)) shape passes; anything
+  *     data-sized on the broadcast side fails.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Queries whose BNLJ is a documented design, not an accident:
+    *  - q50/q53/q54 — the brute-force and int8-quantized ANN tiers
+    *    score every (query, vector) pair BY DESIGN: the bounded query
+    *    set is the broadcast side, the corpus side streams (never
+    *    shuffled), and the LSH/IVF entries (q51/q52) are the scale
+    *    path for when the query set itself grows (SURVEY §5).
+    *  - q57 — the pairwise cross-country comparison crosses per-country
+    *    CELL AGGREGATES whose key domain is capped at 10 countries by
+    *    the isin gate: ≤ 100 pairs regardless of corpus size, and the
+    *    fact table is never touched by the comparison (Geo.scala).
+    */
+  private val allowedBnlj = Set(
+    "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
+    "q57_geo_preferences")
+
+  private def subtree(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(subtree)
+  }
+
+  /** One row by construction: a global aggregate (empty grouping) or a
+    * literal local relation of at most a few rows.
+    */
+  private def provablyTiny(side: SparkPlan): Boolean =
+    subtree(side).exists {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => true
+      case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty => true
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty => true
+      case l: LocalTableScanExec if l.rows.size <= 64 => true
+      case _ => false
+    }
+
+  test("no registered query plans a cartesian product; BNLJ only broadcasts one-row/literal frames") {
+    val offenders = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      val nodes = physicalNodes(df)
+      nodes.foreach {
+        case _: CartesianProductExec =>
+          offenders += s"${q.name}: CartesianProductExec"
+        case b: BroadcastNestedLoopJoinExec if !allowedBnlj(q.name) =>
+          val side = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          if (!provablyTiny(side))
+            offenders += s"${q.name}: BroadcastNestedLoopJoin over a non-tiny side:\n$b"
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"plan hygiene violations:\n${bad.mkString("\n")}")
+  }
+}
