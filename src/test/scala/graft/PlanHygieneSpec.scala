@@ -84,4 +84,36 @@ class PlanHygieneSpec extends SparkSpec {
     val bad = offenders.result()
     assert(bad.isEmpty, s"plan hygiene violations:\n${bad.mkString("\n")}")
   }
+
+  test("every fact scan either pushes a filter or reads a pruned schema") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // fact tables and their full column counts (from the testdata
+    // schemas); a scan is healthy when it pushes row-group filters OR
+    // prunes its schema. Whole-table consumers (global windows,
+    // percentiles, the corpus pipeline) legitimately push nothing, but
+    // even they must not read columns they do not use — a FULL-width
+    // unfiltered fact scan is the "reads all columns for a 2-column
+    // projection" smell.
+    val factWidth = Map("lineitem" -> 11, "orders" -> 6, "events" -> 6,
+      "documents" -> 5, "embeddings" -> 3)
+    val offenders = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      physicalNodes(df).foreach {
+        case f: FileSourceScanExec =>
+          val table = f.relation.location.rootPaths.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          factWidth.get(table).foreach { width =>
+            val pushed = f.metadata.getOrElse("PushedFilters", "[]")
+            val cols = f.requiredSchema.fieldNames.length
+            if (pushed == "[]" && cols >= width)
+              offenders += s"${q.name}: unfiltered $table scan reads $cols of $width cols"
+          }
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"unpruned unfiltered fact scans:\n${bad.mkString("\n")}")
+  }
 }
