@@ -135,6 +135,10 @@ object EventStreams {
     var st = prev.orNull
     for ((tsUs, _) <- sorted) {
       if (st == null) st = SessState(1L, 1L, tsUs, tsUs)
+      // n == 0 is a counter-only tombstone (its session was already
+      // emitted by an event-time timeout): it contributes the next
+      // session_seq but no open session to extend
+      else if (st.n == 0L) st = SessState(st.seq, 1L, tsUs, tsUs)
       else if (tsUs - st.last_us > gapUs) {
         out += GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
           st.last_us - st.start_us)
@@ -167,7 +171,12 @@ object EventStreams {
     * closed by an in-batch gap emit immediately; the open tail stays in
     * GroupState with a timeout at (last event + gap), so it emits when
     * the watermark passes that instant — the correct unbounded-stream
-    * semantics (state per user is O(1); expiry is watermark-driven).
+    * semantics. State per user is O(1) and, after a timeout, degrades
+    * to a counter-only tombstone rather than being removed: the seq
+    * counter must survive or the user's next session would renumber
+    * from 1, diverging from the batch path (StreamingDifferentialSpec
+    * pins stream ≡ batch across random epoch splits, session_seq
+    * included).
     * Input needs (user_id, event_id, ts) with ts a watermarkable event
     * time.
     */
@@ -184,7 +193,16 @@ object EventStreams {
         (userId: Long, it: Iterator[GraftEventW], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // keep a counter-only tombstone (n = 0) instead of
+            // removing state: dropping the seq counter would restart
+            // the user's next session at 1, silently diverging from
+            // the batch path's monotone per-user numbering (caught by
+            // StreamingDifferentialSpec's random-epoch sweep — the
+            // fixture tests never fired a timeout). Cost: 4 longs per
+            // ever-seen user, the same O(users) any per-user aggregate
+            // carries; no new timeout is registered, so the tombstone
+            // is inert until the user's next event.
+            state.update(SessState(st.seq + 1, 0L, st.last_us, st.last_us))
             Iterator.single(GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
               st.last_us - st.start_us))
           } else {

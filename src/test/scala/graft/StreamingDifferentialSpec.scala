@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{EventStreams, GraftEvent}
+import scala.util.Random
+
+/** Fixed-seed random-epoch differential for the stateful streaming
+  * tier: the same event set is fed through the streaming paths split
+  * across RANDOM MemoryStream batches, and the emitted rows must
+  * reproduce the batch answer. The single-AvailableNow fixture tests
+  * in StreamingSpec pin one batch boundary; these sweep many, so
+  * cross-batch GroupState carry, event-time timeouts, and
+  * watermark-driven expiry all get exercised at arbitrary cut points.
+  */
+class StreamingDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("sessionizeStream over random batch splits equals batch sessionize (3 seeds)") {
+    for (seed <- Seq(121, 122, 123)) {
+      val rnd = new Random(seed)
+      val gapSeconds = 1800L
+      val hourUs = 3600L * 1000000L
+      // 4 users, ~40 events each on a 10-minute grid over ~3 days:
+      // plenty of >30min gaps -> many sessions per user. The grid
+      // starts a day after the epoch: Spark's initial watermark is 0,
+      // and a row with ts <= watermark is filtered as late — an event
+      // at exactly epoch 0 would be dropped by any watermarked
+      // operator (found by this sweep's first run)
+      var id = 0L
+      val events = (for {
+        u <- 1L to 4L
+        _ <- 1 to 40
+      } yield {
+        id += 1
+        GraftEvent(u, id,
+          (24 * 6 + rnd.nextInt(3 * 24 * 6)).toLong * 600L * 1000000L)
+      }).sortBy(e => (e.ts_us, e.event_id))
+      // one far-future flush event per user so every REAL session is
+      // closed by an in-stream gap, never left waiting in state
+      val flushUs = events.map(_.ts_us).max + 10L * 24L * hourUs
+      val flush = (1L to 4L).map { u => id += 1; GraftEvent(u, id, flushUs) }
+
+      val batchExpect = EventStreams.sessionize(events.toDS(), gapSeconds * 1000000L)
+        .collect().map(s => (s.user_id, s.session_seq, s.n_events, s.start_us, s.end_us)).toSet
+
+      val input = MemoryStream[GraftEvent](spark)
+      val stream = input.toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val q = EventStreams.sessionizeStream(stream, gapSeconds, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName(s"sessdiff$seed")
+        .outputMode("append").start()
+      try {
+        // random cut points over the time-ordered feed; watermark only
+        // moves forward, so in-order feeding keeps stream gaps ≡ batch
+        // gaps (see scaladoc: late-beyond-watermark data is a semantic
+        // change, not a differential case)
+        var rest = events ++ flush
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(40)
+          val (batch, tail) = rest.splitAt(take)
+          input.addData(batch)
+          q.processAllAvailable()
+          rest = tail
+        }
+      } finally q.stop()
+      val emitted = spark.table(s"sessdiff$seed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // every real session closed by the flush gap; only the four
+      // flush singletons stay open in state
+      assert(emitted.size == emitted.toSet.size, s"duplicate emissions at seed $seed")
+      assert(emitted.toSet == batchExpect,
+        s"stream/batch mismatch at seed $seed: extra=${emitted.toSet -- batchExpect} " +
+          s"missing=${batchExpect -- emitted.toSet}")
+    }
+  }
+
+  test("streaming dedup over random batch splits keeps exactly the batch survivors") {
+    val rnd = new Random(124)
+    // duplicate-heavy corpus fed in doc_id order: first arrival per
+    // content = lowest doc_id = the batch survivor rule
+    val texts = (1 to 12).map(i => s"content body $i")
+    val docs = (1L to 80L).map(i => (i, texts(rnd.nextInt(texts.size))))
+    val expect = docs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+    val deduped = EventStreams.dedupByContent(stream, "text", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedupdiff")
+      .outputMode("append").start()
+    try {
+      var rest = docs
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(25)
+        val (batch, tail) = rest.splitAt(take)
+        input.addData(batch)
+        q.processAllAvailable()
+        rest = tail
+      }
+    } finally q.stop()
+    val kept = spark.table("dedupdiff").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expect,
+      s"survivor mismatch: extra=${kept -- expect} missing=${expect -- kept}")
+  }
+}
