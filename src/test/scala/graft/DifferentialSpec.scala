@@ -183,6 +183,33 @@ class DifferentialSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // SkewJoin.salted vs the plain equi-join
+  // ---------------------------------------------------------------
+  test("SkewJoin.salted equals the unsalted join on a skewed fixture, any salt count") {
+    val rnd = new Random(55)
+    // 80% of fact rows hit one hot key; dim includes duplicate keys
+    // (join multiplicity must be preserved) and a key the fact never
+    // touches (inner semantics)
+    val fact = (1L to 300L).map { id =>
+      Row(if (rnd.nextInt(5) > 0) 1L else 1L + rnd.nextInt(10).toLong, id)
+    }
+    val dim = ((1L to 10L).map(k => Row(k, s"d$k")) :+ Row(1L, "d1dup")) :+ Row(99L, "never")
+    val factDf = df("k LONG, id LONG")(fact)
+    val dimDf = df("dk LONG, name STRING")(dim)
+    val expect = fact.flatMap { f =>
+      dim.filter(_.getLong(0) == f.getLong(0))
+        .map(d => (f.getLong(1), d.getString(1)))
+    }.toSet
+    for (numSalts <- Seq(1, 4, 16)) {
+      val out = graft.operators.SkewJoin.salted(
+        factDf, dimDf, "k", "dk", Seq(col("id")), numSalts)
+        .select("id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == expect, s"salted join diverged at numSalts=$numSalts")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Misra–Gries: guarantee holds under arbitrary partition/merge trees
   // ---------------------------------------------------------------
   test("FrequentItemsWithTotal keeps the MG guarantee under random partition splits (5 seeds)") {
