@@ -115,6 +115,60 @@ class ScaleSpec extends SparkSpec {
       f"verify volume superlinear: $perDoc1%.3f -> $perDoc2%.3f pairs/doc over 10x")
   }
 
+  test("q75 actor co-occurrence volume grows ~linearly over a 10x catalog jump") {
+    import org.apache.spark.sql.expressions.Window
+    // the Predictive.scala bridge verbatim: top-3 suppliers per content
+    // by windowed line count; its self-join volume is sum-of-
+    // filmography^2, which the scaladoc claims is LINEAR in the
+    // catalog because per-actor filmographies are degree-bounded
+    // (both |contents| and |actors| scale with SF)
+    def measure(dir: String): (Long, Long, Double, Long) = {
+      val asOf = AsOf("1997-06-30")
+      val t = Tables(spark, dir)
+      val va = t.lineitem
+        .filter(col("l_shipdate") > asOf.minusDays(730).tsLit &&
+          col("l_shipdate") <= asOf.tsLit)
+        .select(col("l_partkey").as("content_id"), col("l_suppkey").as("actor_id"))
+      val bridge = va.groupBy(col("content_id"), col("actor_id"))
+        .agg(count(lit(1)).as("nl"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("content_id")).orderBy(col("nl").desc, col("actor_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("content_id"), col("actor_id"))
+        .cache()
+      try {
+        val contents = bridge.select("content_id").distinct().count()
+        val filmo = bridge.groupBy("actor_id").count()
+          .agg(max("count").as("mx"), avg("count").as("mean")).head
+        val coVolume = bridge
+          .join(bridge.select(col("actor_id"), col("content_id").as("other_id")), Seq("actor_id"))
+          .filter(col("other_id") =!= col("content_id"))
+          .count()
+        (contents, filmo.getLong(0), filmo.getDouble(1), coVolume)
+      } finally bridge.unpersist()
+    }
+    val (c1, f1, m1, v1) = measure("/root/testdata/sf0.001")
+    val (c2, f2, m2, v2) = measure("/root/testdata/sf0.01")
+    info(f"sf0.001: $c1 contents, filmography max $f1 / mean $m1%.1f, $v1 pairs; " +
+      f"sf0.01: $c2 contents, filmography max $f2 / mean $m2%.1f, $v2 pairs")
+    assert(c2 >= 5 * c1, "testdata shape changed; catalog jump too small")
+    // degree bound: the MEAN filmography is 3·|contents|/|actors| and
+    // must stay flat over the jump (both scale with SF — more actors,
+    // not more contents per actor), and skew above the mean stays
+    // bounded (measured ~3x here; 6x would signal a hot actor whose
+    // filmography grows with the catalog)
+    assert(m2 <= 2.0 * m1,
+      f"mean filmography grew with the catalog: $m1%.1f -> $m2%.1f")
+    assert(f2 <= 6.0 * m2,
+      f"filmography skew unbounded: max $f2 vs mean $m2%.1f")
+    // linear volume: pairs-per-content roughly flat over the jump
+    // (quadratic growth would multiply it by the catalog ratio ~10)
+    val per1 = v1.toDouble / c1
+    val per2 = v2.toDouble / c2
+    assert(per2 <= 2.5 * per1,
+      f"co-occurrence volume superlinear: $per1%.1f -> $per2%.1f pairs/content")
+  }
+
   test("q65 pair cap bounds co-watch volume per content; inactive at test scale") {
     import graft.queries.Virality
     val asOf = AsOf("1997-06-30")
