@@ -30,6 +30,15 @@ final case class DecodedImage(doc_id: Long, ok: Boolean, width: Long, height: Lo
 final case class ResizedImage(doc_id: Long, ok: Boolean, out_width: Long,
     out_height: Long, n_bytes_in: Long, n_bytes_out: Long, checksum: String)
 
+/** One really-decoded audio row ([[Multimodal.decodeWavBatched]]):
+  * rate/channels from the RIFF header, duration and per-channel RMS
+  * from the PCM frames. `ok = false` rows carry through — total
+  * decode, same rule as images.
+  */
+final case class DecodedAudio(doc_id: Long, ok: Boolean, sample_rate: Long,
+    channels: Long, n_frames: Long, duration_sec: Double, rms_max: Double,
+    n_bytes: Long)
+
 /** Multimodal payload plumbing (SURVEY.md §2 q60).
   *
   * Models the Spark-side shape of an image/audio pipeline: an opaque
@@ -87,6 +96,30 @@ object Multimodal {
   implicit val resizedEnc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
   implicit val decodedImgEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   implicit val resizedImgEnc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
+  implicit val decodedAudEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+
+  /** REAL batched audio decode for 16-bit PCM WAV payloads
+    * ([[WavCodec]]) — the audio twin of [[decodePpmBatched]]: header
+    * metadata and PCM features per row, `ok = false` for anything the
+    * total decoder rejects, input partitioning preserved, no shuffle.
+    */
+  def decodeWavBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        WavCodec.decode(payload) match {
+          case Some(w) =>
+            val loudness = WavCodec.rms(w)
+            DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
+              w.nFrames.toLong, w.durationSec,
+              if (loudness.isEmpty) 0.0 else loudness.max, payload.length.toLong)
+          case None =>
+            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, payload.length.toLong)
+        }
+      }
+    }
+  }
 
   /** REAL batched image decode for PPM payloads ([[PpmCodec]]): per
     * task the codec runs as plain JVM code, per row the header is
