@@ -79,5 +79,34 @@ object Streaming {
       .orderBy(col("segment"), col("event_type"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72, q73)
+  /** q76: stream-stream interval-join attribution in batch mode — the
+    * streaming deployment's exact operator
+    * ([[EventStreams.attributeWithin]]): every 'purchase' attributed to
+    * each preceding same-user 'view' within 24h. Deterministic pair
+    * set (no aggregation needed), so the oracle is exact at row level;
+    * StreamingSpec drives the readStream self-join path and
+    * StreamingDifferentialSpec sweeps random MemoryStream batch splits
+    * against this batch answer. Timestamps compare as epoch micros on
+    * both engines (DuckDB ns-truncation ≡ Tables.events `ts div
+    * 1000`).
+    */
+  val q76 = Q.of(
+    "q76_stream_attribution",
+    """SELECT i.user_id, i.event_id AS imp_id, o.event_id AS out_id,
+      |  epoch_us(i.ts) AS imp_us, epoch_us(o.ts) AS out_us,
+      |  epoch_us(o.ts) - epoch_us(i.ts) AS delay_us
+      |FROM events i JOIN events o ON o.user_id = i.user_id
+      | AND i.event_type = 'view' AND o.event_type = 'purchase'
+      | AND epoch_us(o.ts) > epoch_us(i.ts)
+      | AND epoch_us(o.ts) - epoch_us(i.ts) <= 86400000000
+      |ORDER BY i.user_id, imp_id, out_id""".stripMargin) { t =>
+    val events = t.events
+    EventStreams.attributeWithin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .orderBy(col("user_id"), col("imp_id"), col("out_id"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76)
 }

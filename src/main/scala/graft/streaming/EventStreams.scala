@@ -102,6 +102,54 @@ object EventStreams {
     else hashed.dropDuplicates("graft_content_hash")
   }
 
+  /** Stream-stream interval-join attribution (SURVEY §2 q76; the
+    * streaming twin of q69's impression→outcome machinery and the
+    * reference's real-time personalization consumer —
+    * /root/reference/SQL/Real-time Personalization Effectiveness.txt:3-60):
+    * each outcome is attributed to every impression by the SAME user
+    * that strictly precedes it within `maxDelaySeconds`.
+    *
+    * Both inputs need (user_id, event_id, ts). In streaming mode this
+    * is Spark's watermarked stream-stream inner join: the time-range
+    * condition (out_ts in (imp_ts, imp_ts + delay]) lets the state
+    * store evict an impression once the outcome-side watermark passes
+    * imp_ts + delay and an outcome once the impression-side watermark
+    * passes out_ts — state per side is bounded by arrival-rate ×
+    * (watermark delay + attribution window), never by stream length.
+    * Inner-join matches emit eagerly on arrival (no watermark wait);
+    * the watermark governs only eviction, so feeding in event-time
+    * order loses nothing (StreamingDifferentialSpec sweeps random
+    * batch splits against the batch answer). The join exchanges both
+    * sides on user_id — the same single-shuffle shape as the batch
+    * plan.
+    *
+    * On batch frames the watermark nodes are eliminated and this is a
+    * plain user_id equi-join with the interval predicate — the q76
+    * oracle path. Timestamps surface as epoch micros (BIGINT), the
+    * repo's cross-engine-stable timestamp currency (≡ DuckDB
+    * epoch_us; see Tables.events).
+    */
+  def attributeWithin(impressions: DataFrame, outcomes: DataFrame,
+      maxDelaySeconds: Long,
+      impWatermarkDelay: String = "1 hour",
+      outWatermarkDelay: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", impWatermarkDelay)
+      .select(col("user_id"), col("event_id").as("imp_id"), col("ts").as("imp_ts"))
+    val out = outcomes
+      .withWatermark("ts", outWatermarkDelay)
+      .select(col("user_id").as("graft_out_user"), col("event_id").as("out_id"),
+        col("ts").as("out_ts"))
+    imp.join(out,
+      col("user_id") === col("graft_out_user") &&
+        col("out_ts") > col("imp_ts") &&
+        col("out_ts") <= col("imp_ts") + expr(s"INTERVAL $maxDelaySeconds SECOND"))
+      .select(col("user_id"), col("imp_id"), col("out_id"),
+        unix_micros(col("imp_ts")).as("imp_us"),
+        unix_micros(col("out_ts")).as("out_us"),
+        (unix_micros(col("out_ts")) - unix_micros(col("imp_ts"))).as("delay_us"))
+  }
+
   /** Idempotent partitioned-parquet sink — closes the ingest loop
     * (VERDICT r4 #7; deployment shape of the reference's "Real-time
     * Personalization Effectiveness" consumer): `Trigger.AvailableNow`

@@ -79,6 +79,70 @@ class StreamingDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("attributeWithin over random two-stream batch splits equals batch join (3 seeds)") {
+    for (seed <- Seq(131, 132, 133)) {
+      val rnd = new Random(seed)
+      val dayUs = 24L * 3600L * 1000000L
+      // 4 users × 30 views + 30 purchases on a 10-min grid over ~2
+      // days (starting a day after the epoch — see the sessionize
+      // sweep's watermark-0 note), 3h attribution window → a dense
+      // mix of matched, boundary, and unmatched events
+      var id = 0L
+      def gen(): Seq[GraftEvent] = (for {
+        u <- 1L to 4L
+        _ <- 1 to 30
+      } yield {
+        id += 1
+        GraftEvent(u, id, dayUs + rnd.nextInt(2 * 24 * 6).toLong * 600L * 1000000L)
+      }).sortBy(e => (e.ts_us, e.event_id))
+      val views = gen()
+      val buys = gen()
+
+      def toFrame(evs: Seq[GraftEvent]) = evs.toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val expect = EventStreams.attributeWithin(
+        toFrame(views), toFrame(buys), maxDelaySeconds = 3L * 3600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val vIn = MemoryStream[GraftEvent](spark)
+      val bIn = MemoryStream[GraftEvent](spark)
+      def stream(in: MemoryStream[GraftEvent]) = in.toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val q = EventStreams.attributeWithin(
+        stream(vIn), stream(bIn), maxDelaySeconds = 3L * 3600L,
+        impWatermarkDelay = "1 minute", outWatermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName(s"attrdiff$seed")
+        .outputMode("append").start()
+      try {
+        // each stream fed in its own event-time order (late-beyond-
+        // watermark is a semantic change, not a differential case) but
+        // cut and interleaved at random — the global watermark is the
+        // min across inputs, so uneven progress must never evict a
+        // still-matchable row
+        var restV = views
+        var restB = buys
+        while (restV.nonEmpty || restB.nonEmpty) {
+          if (restV.nonEmpty && (restB.isEmpty || rnd.nextBoolean())) {
+            val (batch, tail) = restV.splitAt(1 + rnd.nextInt(25))
+            vIn.addData(batch); restV = tail
+          } else {
+            val (batch, tail) = restB.splitAt(1 + rnd.nextInt(25))
+            bIn.addData(batch); restB = tail
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val emitted = spark.table(s"attrdiff$seed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(emitted.length == emitted.toSet.size, s"duplicate pairs at seed $seed")
+      assert(emitted.toSet == expect,
+        s"stream/batch mismatch at seed $seed: extra=${(emitted.toSet -- expect).take(5)} " +
+          s"missing=${(expect -- emitted.toSet).take(5)}")
+    }
+  }
+
   test("streaming dedup over random batch splits keeps exactly the batch survivors") {
     val rnd = new Random(124)
     // duplicate-heavy corpus fed in doc_id order: first arrival per

@@ -174,6 +174,48 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
   }
 
+  test("q76: stream-stream attribution self-join over file source equals batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def eventsStream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // one source, filtered twice: a genuine stream-stream SELF-join
+    val src = eventsStream()
+    val q = EventStreams.attributeWithin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .writeStream.format("memory").queryName("q76mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("q76mem").collect().map(key)
+    val batch = run("q76_stream_attribution").collect().map(key)
+    assert(streamed.length == streamed.toSet.size, "stream emitted duplicate pairs")
+    assert(streamed.toSet == batch.toSet,
+      s"stream/batch mismatch: extra=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
+  test("attributeWithin boundary semantics: strict lower, inclusive upper, same user") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val views = frame(Seq((1L, 10L, 0L), (2L, 11L, 0L)))
+    val buys = frame(Seq(
+      (1L, 20L, 0L),            // same instant -> excluded (strict >)
+      (1L, 21L, 1000000L),      // +1s -> included
+      (1L, 22L, 60L * 1000000L),  // exactly maxDelay -> included (inclusive)
+      (1L, 23L, 61L * 1000000L),  // past maxDelay -> excluded
+      (3L, 24L, 1000000L)))     // other user -> excluded
+    val got = EventStreams.attributeWithin(views, buys, maxDelaySeconds = 60L)
+      .select(col("imp_id"), col("out_id"), col("delay_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 21L, 1000000L), (10L, 22L, 60000000L)))
+  }
+
   test("sessionize emits per-session rows with correct gap semantics") {
     import EventStreams._
     import spark.implicits._
