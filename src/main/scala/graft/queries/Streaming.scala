@@ -108,5 +108,36 @@ object Streaming {
       .orderBy(col("user_id"), col("imp_id"), col("out_id"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76)
+  /** q77: LAST-TOUCH attribution in batch mode — q76's interval join
+    * reduced to one row per outcome ([[EventStreams.lastTouchWithin]]):
+    * the production attribution semantic AND the hot-key output bound
+    * (all-pairs is views×purchases per user; last-touch is ∝ outcomes
+    * only). The streaming form chains the watermarked join into a
+    * windowed max-aggregate (two stateful operators); StreamingSpec
+    * and StreamingDifferentialSpec prove stream ≡ batch. Tie-break on
+    * (imp_us, imp_id) descending, mirrored in the oracle.
+    */
+  val q77 = Q.of(
+    "q77_stream_last_touch",
+    """SELECT user_id, out_id, imp_id, imp_us, out_us, delay_us FROM (
+      |  SELECT i.user_id, o.event_id AS out_id, i.event_id AS imp_id,
+      |    epoch_us(i.ts) AS imp_us, epoch_us(o.ts) AS out_us,
+      |    epoch_us(o.ts) - epoch_us(i.ts) AS delay_us,
+      |    row_number() OVER (PARTITION BY o.event_id
+      |      ORDER BY epoch_us(i.ts) DESC, i.event_id DESC) AS rk
+      |  FROM events i JOIN events o ON o.user_id = i.user_id
+      |   AND i.event_type = 'view' AND o.event_type = 'purchase'
+      |   AND epoch_us(o.ts) > epoch_us(i.ts)
+      |   AND epoch_us(o.ts) - epoch_us(i.ts) <= 86400000000
+      |) WHERE rk = 1
+      |ORDER BY user_id, out_id""".stripMargin) { t =>
+    val events = t.events
+    EventStreams.lastTouchWithin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .orderBy(col("user_id"), col("out_id"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77)
 }

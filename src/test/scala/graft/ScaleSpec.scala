@@ -205,4 +205,49 @@ class ScaleSpec extends SparkSpec {
         "default cap altered the viewer frame at test SF")
     } finally w.unpersist()
   }
+
+  test("q76/q77 attribution volume grows ~linearly with users; last-touch bounds output by outcomes") {
+    import graft.streaming.EventStreams
+    // per-user event rates are SF-invariant in the testdata (users
+    // scale, rates don't), so all-pairs attribution volume must be
+    // linear in |users|; a hot user whose rate grew with SF would show
+    // up as a superlinear jump or an exploding per-user max. Last-touch
+    // output must equal the attributed-outcome count exactly — the
+    // hot-key bound q77 exists to provide (one row per outcome, however
+    // many impressions a user generates).
+    def measure(dir: String): (Long, Long, Long, Long, Long) = {
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val pairs = EventStreams.attributeWithin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), maxDelaySeconds = 86400L)
+        .cache()
+      try {
+        val users = ev.select("user_id").distinct().count()
+        val nPairs = pairs.count()
+        val maxPerUser = pairs.groupBy("user_id").count().agg(max("count")).head.getLong(0)
+        val attributedOutcomes = pairs.select("out_id").distinct().count()
+        val lastTouch = EventStreams.lastTouchWithin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), maxDelaySeconds = 86400L).count()
+        (users, nPairs, maxPerUser, attributedOutcomes, lastTouch)
+      } finally pairs.unpersist()
+    }
+    val (u1, p1, mx1, ao1, lt1) = measure("/root/testdata/sf0.001")
+    val (u2, p2, mx2, ao2, lt2) = measure("/root/testdata/sf0.01")
+    info(s"sf0.001: $u1 users, $p1 pairs (max/user $mx1), $lt1 last-touch; " +
+      s"sf0.01: $u2 users, $p2 pairs (max/user $mx2), $lt2 last-touch")
+    assert(u2 >= 5 * u1, "testdata shape changed; user jump too small")
+    // linear: pairs-per-user roughly flat over the 10x user jump
+    val per1 = p1.toDouble / u1
+    val per2 = p2.toDouble / u2
+    assert(per2 <= 2.5 * per1,
+      f"attribution volume superlinear: $per1%.2f -> $per2%.2f pairs/user")
+    // hot-user bound: the busiest user stays within an order of the mean
+    assert(mx2 <= 20L * math.max(1L, (p2 / u2)),
+      s"hot-user pair volume unbounded: max $mx2 vs mean ${p2 / u2}")
+    // last-touch = exactly one row per attributed outcome, both SFs
+    assert(lt1 == ao1 && lt2 == ao2,
+      s"last-touch not one-per-outcome: $lt1/$ao1 and $lt2/$ao2")
+  }
 }

@@ -198,6 +198,36 @@ class StreamingSpec extends SparkSpec {
         s"missing=${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("q77: chained join+aggregate last-touch stream emits exactly the closed outcomes") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.lastTouchWithin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .writeStream.format("memory").queryName("q77mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val emitted = spark.table("q77mem").collect().map(key)
+    val batch = run("q77_stream_last_touch").collect().map(key).toSet
+    assert(emitted.length == emitted.toSet.size, "stream emitted an outcome twice")
+    assert(emitted.toSet.subsetOf(batch),
+      s"stream emitted rows batch never produced: ${(emitted.toSet -- batch).take(3)}")
+    // the chained watermark is pessimistic by the join delay: windows
+    // older than max(out_ts) - (join delay + watermark delay + 1h
+    // window) must have finalized; newer outcomes may still be in state
+    val maxOutUs = batch.map(_._5).max
+    val horizonUs = maxOutUs - (86400L + 3600L + 3600L) * 1000000L
+    val mustEmit = batch.filter(_._5 < horizonUs)
+    assert(mustEmit.subsetOf(emitted.toSet),
+      s"closed outcomes missing from append output: ${(mustEmit -- emitted.toSet).take(5)}")
+  }
+
   test("attributeWithin boundary semantics: strict lower, inclusive upper, same user") {
     import spark.implicits._
     def frame(rows: Seq[(Long, Long, Long)]) =
