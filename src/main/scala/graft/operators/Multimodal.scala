@@ -47,10 +47,13 @@ final case class DecodedAudio(doc_id: Long, ok: Boolean, sample_rate: Long,
   * General image/audio codecs (jpeg/png/audio libs) are NOT available
   * in this environment — `decodeStub` is a clearly-marked
   * deterministic fake (strided hash "frames" standing in for sampled
-  * decoded frames) — but ONE real format is fully implemented: binary
-  * PPM via the pure-JVM [[PpmCodec]], with real header parsing,
-  * nearest-neighbor resampling, and re-encode running inside the same
-  * batched plumbing ([[decodePpmBatched]]/[[resizePpmBatched]],
+  * decoded frames) — but THREE real formats are fully implemented
+  * with pure-JVM codecs: binary PPM ([[PpmCodec]]), PNG via JDK zlib
+  * ([[PngCodec]] — CRC-checked chunks, inflate, five-filter scanline
+  * reconstruction), and 16-bit PCM WAV ([[WavCodec]]), each with real
+  * decode, resampling, and re-encode running inside the same batched
+  * plumbing ([[decodePpmBatched]]/[[resizePpmBatched]]/
+  * [[decodePngBatched]]/[[resizePngBatched]]/[[decodeWavBatched]],
   * differentially tested in MultimodalSpec). The plumbing that
   * matters at scale IS real either way: payloads stay opaque bytes
   * end-to-end, metadata travels as a struct column, per-row cost is
@@ -141,6 +144,67 @@ object Multimodal {
               r, g, b, payload.length.toLong)
           case None =>
             DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** REAL batched image decode for PNG payloads ([[PngCodec]]) — same
+    * contract as [[decodePpmBatched]], but the decode is the full PNG
+    * critical path: CRC-checked chunk walk, zlib inflate, five-filter
+    * scanline reconstruction. Grayscale means fan out to (r, g, b);
+    * alpha, when present, is ignored for the channel means. Malformed
+    * payloads yield `ok = false` rows; input partitioning preserved,
+    * no shuffle.
+    */
+  def decodePngBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        PngCodec.decode(payload) match {
+          case Some(img) =>
+            val m = PngCodec.channelMeans(img)
+            val (r, g, b) = img.channels match {
+              case 1 | 2 => (m(0), m(0), m(0)) // gray (+alpha dropped)
+              case _     => (m(0), m(1), m(2)) // rgb / rgba
+            }
+            DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
+              r, g, b, payload.length.toLong)
+          case None =>
+            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** REAL batched resize for PNG payloads: decode → nearest-neighbor
+    * resample → canonical re-encode (filter-0 rows, single IDAT), md5
+    * of the re-encoded bytes as the output content address. Same
+    * error-tolerance and partition-preservation as
+    * [[decodePngBatched]].
+    */
+  def resizePngBatched(df: DataFrame, idCol: String,
+      outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0)
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = {
+        val digest = md.digest(b)
+        val sb = new StringBuilder(32)
+        for (x <- digest) sb.append(f"${x & 0xff}%02x")
+        sb.toString
+      }
+      it.map { case (id, payload) =>
+        PngCodec.decode(payload) match {
+          case Some(img) =>
+            val out = PngCodec.encode(PngCodec.resizeNearest(img, outW, outH))
+            ResizedImage(id, ok = true, outW.toLong, outH.toLong,
+              payload.length.toLong, out.length.toLong, hex(out))
+          case None =>
+            ResizedImage(id, ok = false, 0L, 0L, payload.length.toLong, 0L, null)
         }
       }
     }
