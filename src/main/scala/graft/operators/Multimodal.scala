@@ -95,6 +95,26 @@ object Multimodal {
       .withColumn("n_frames", size(col("frames")).cast("long"))
       .withColumn("first_frame", element_at(col("frames"), 1))
 
+  /** Per-partition md5-hex closure — ONE MessageDigest per task, the
+    * content-address format every resize/decode batch path shares.
+    */
+  private def md5Hex(): Array[Byte] => String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    b => {
+      val digest = md.digest(b)
+      val sb = new StringBuilder(32)
+      for (x <- digest) sb.append(f"${x & 0xff}%02x")
+      sb.toString
+    }
+  }
+
+  /** Null-safe payload size for the `ok = false` carry-through rows —
+    * a NULL binary cell must become a rejected row, not a thrown task
+    * (the codecs themselves treat null as undecodable).
+    */
+  private def byteLen(payload: Array[Byte]): Long =
+    if (payload == null) 0L else payload.length.toLong
+
   implicit val mediaEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val resizedEnc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
   implicit val decodedImgEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
@@ -116,9 +136,9 @@ object Multimodal {
             val loudness = WavCodec.rms(w)
             DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
               w.nFrames.toLong, w.durationSec,
-              if (loudness.isEmpty) 0.0 else loudness.max, payload.length.toLong)
+              if (loudness.isEmpty) 0.0 else loudness.max, byteLen(payload))
           case None =>
-            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, payload.length.toLong)
+            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, byteLen(payload))
         }
       }
     }
@@ -141,9 +161,9 @@ object Multimodal {
           case Some(img) =>
             val (r, g, b) = PpmCodec.channelMeans(img)
             DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
-              r, g, b, payload.length.toLong)
+              r, g, b, byteLen(payload))
           case None =>
-            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, payload.length.toLong)
+            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
         }
       }
     }
@@ -170,9 +190,9 @@ object Multimodal {
               case _     => (m(0), m(1), m(2)) // rgb / rgba
             }
             DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
-              r, g, b, payload.length.toLong)
+              r, g, b, byteLen(payload))
           case None =>
-            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, payload.length.toLong)
+            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
         }
       }
     }
@@ -190,21 +210,15 @@ object Multimodal {
     val slim = df.select(col(idCol).cast("long"), col("payload"))
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String = {
-        val digest = md.digest(b)
-        val sb = new StringBuilder(32)
-        for (x <- digest) sb.append(f"${x & 0xff}%02x")
-        sb.toString
-      }
+      val hex = md5Hex()
       it.map { case (id, payload) =>
         PngCodec.decode(payload) match {
           case Some(img) =>
             val out = PngCodec.encode(PngCodec.resizeNearest(img, outW, outH))
             ResizedImage(id, ok = true, outW.toLong, outH.toLong,
-              payload.length.toLong, out.length.toLong, hex(out))
+              byteLen(payload), out.length.toLong, hex(out))
           case None =>
-            ResizedImage(id, ok = false, 0L, 0L, payload.length.toLong, 0L, null)
+            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
         }
       }
     }
@@ -222,21 +236,15 @@ object Multimodal {
     val slim = df.select(col(idCol).cast("long"), col("payload"))
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String = {
-        val digest = md.digest(b)
-        val sb = new StringBuilder(32)
-        for (x <- digest) sb.append(f"${x & 0xff}%02x")
-        sb.toString
-      }
+      val hex = md5Hex()
       it.map { case (id, payload) =>
         PpmCodec.decode(payload) match {
           case Some(img) =>
             val out = PpmCodec.encode(PpmCodec.resizeNearest(img, outW, outH))
             ResizedImage(id, ok = true, outW.toLong, outH.toLong,
-              payload.length.toLong, out.length.toLong, hex(out))
+              byteLen(payload), out.length.toLong, hex(out))
           case None =>
-            ResizedImage(id, ok = false, 0L, 0L, payload.length.toLong, 0L, null)
+            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
         }
       }
     }
@@ -263,13 +271,7 @@ object Multimodal {
       col("meta.format"), col("meta.width"), col("meta.height"))
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte], String, Long, Long)].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String = {
-        val digest = md.digest(b)
-        val sb = new StringBuilder(32)
-        for (x <- digest) sb.append(f"${x & 0xff}%02x")
-        sb.toString
-      }
+      val hex = md5Hex()
       it.map { case (id, payload, format, w, h) =>
         val resized = Array.tabulate((payload.length + factor - 1) / factor)(j =>
           payload(j * factor))
@@ -285,7 +287,7 @@ object Multimodal {
           i += frameStride
         }
         ResizedMedia(id, format, math.max(w / factor, 1L), math.max(h / factor, 1L),
-          payload.length.toLong, len.toLong, hex(resized), n, first)
+          byteLen(payload), len.toLong, hex(resized), n, first)
       }
     }
   }
@@ -304,13 +306,7 @@ object Multimodal {
     val slim = df.select(col(idCol).cast("long"), col("payload"))
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String = {
-        val digest = md.digest(b)
-        val sb = new StringBuilder(32)
-        for (x <- digest) sb.append(f"${x & 0xff}%02x")
-        sb.toString
-      }
+      val hex = md5Hex()
       it.map { case (id, payload) =>
         val len = payload.length
         val limit = math.max(len - 15, 1)

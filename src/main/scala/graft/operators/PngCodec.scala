@@ -55,7 +55,7 @@ object PngCodec {
     * CRC-clean, 8-bit non-interlaced PNG of a supported color type.
     */
   def decode(bytes: Array[Byte]): Option[Png] = {
-    if (bytes.length < Signature.length + 12) return None
+    if (bytes == null || bytes.length < Signature.length + 12) return None
     var i = 0
     while (i < Signature.length) {
       if (bytes(i) != Signature(i)) return None
@@ -167,10 +167,15 @@ object PngCodec {
   /** Minimal canonical encode: IHDR + one deflated IDAT with filter 0
     * on every row + IEND. Not the smallest PNG possible (no per-row
     * filter search) — but spec-valid, deterministic, and exactly
-    * invertible by [[decode]].
+    * invertible by [[decode]] (encode enforces the same dimension and
+    * size gates decode applies, so the round-trip invariant holds for
+    * every accepted input).
     */
   def encode(img: Png): Array[Byte] = {
     require(Seq(1, 2, 3, 4).contains(img.channels), "unsupported channel count")
+    require(img.width > 0 && img.height > 0, "dims must be positive")
+    require(img.width.toLong * img.height * img.channels <= MaxPixelBytes,
+      s"pixel buffer exceeds the ${MaxPixelBytes >> 20} MiB decode gate")
     require(img.pixels.length == img.width * img.height * img.channels,
       "pixel buffer does not match dims")
     val colorType = img.channels match {
@@ -219,6 +224,8 @@ object PngCodec {
     */
   def resizeNearest(img: Png, outW: Int, outH: Int): Png = {
     require(outW > 0 && outH > 0, "target dims must be positive")
+    require(outW.toLong * outH * img.channels <= MaxPixelBytes,
+      s"target exceeds the ${MaxPixelBytes >> 20} MiB pixel-buffer gate")
     val ch = img.channels
     val dst = new Array[Byte](outW * outH * ch)
     var y = 0

@@ -45,7 +45,7 @@ object PpmCodec {
     * 8-bit-per-channel P6 with a complete pixel payload.
     */
   def decode(bytes: Array[Byte]): Option[Ppm] = {
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     for {
       (w, p1) <- token(bytes, 2)
       (h, p2) <- token(bytes, p1)
@@ -79,6 +79,8 @@ object PpmCodec {
     */
   def resizeNearest(img: Ppm, outW: Int, outH: Int): Ppm = {
     require(outW > 0 && outH > 0, "target dims must be positive")
+    require(outW.toLong * outH * 3 <= (256L << 20),
+      "target exceeds the 256 MiB pixel-buffer gate")
     val dst = new Array[Byte](outW * outH * 3)
     var y = 0
     while (y < outH) {

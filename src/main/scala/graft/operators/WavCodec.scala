@@ -24,7 +24,7 @@ object WavCodec {
 
   /** Total decode of a 16-bit PCM RIFF/WAVE payload. */
   def decode(bytes: Array[Byte]): Option[Wav] = {
-    if (bytes.length < 12) return None
+    if (bytes == null || bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     if (buf.getInt(0) != 0x46464952) return None // "RIFF"
     if (buf.getInt(8) != 0x45564157) return None // "WAVE"
