@@ -42,4 +42,51 @@ class SourcesSpec extends SparkSpec {
         s"${d.getName}: $parts files — repartition-before-write not coalescing")
     }
   }
+
+  import graft.sources.TextIngest
+
+  test("jsonl ingest round-trips documents and quarantines corrupt lines") {
+    val docs = tables.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    val jdir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    docs.select(to_json(struct(docs.columns.map(col): _*)).as("value"))
+      .write.text(jdir)
+    // inject corrupt lines: truncated json, bare text, and an empty
+    // object is VALID json (parses to an all-null row, not quarantine)
+    val corrupt = Seq("""{"doc_id": 1, "text": "unclosed""", "not json at all")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(jdir, "part-corrupt.txt"),
+      corrupt.mkString("\n").getBytes("UTF-8"))
+
+    val parsed = TextIngest.readJsonl(spark, jdir, docs.schema)
+    val (good, bad) = TextIngest.split(parsed)
+    assert(bad.collect().map(_.getString(0)).sorted.toSeq == corrupt.sorted,
+      "quarantine must hold exactly the injected raw lines")
+    assert(good.count() == docs.count(), "good-row count changed in round trip")
+    // field-exact: same doc_id/text multiset back
+    assert(good.select("doc_id", "text").exceptAll(docs.select("doc_id", "text")).isEmpty &&
+      docs.select("doc_id", "text").exceptAll(good.select("doc_id", "text")).isEmpty,
+      "jsonl round-trip altered rows")
+  }
+
+  test("csv ingest quarantines malformed rows instead of dropping or failing") {
+    val cdir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
+    val rows = Seq("1,alpha,10", "2,beta,20", "3,gamma,not_a_number", "4,delta")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(cdir, "part-0.csv"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("name", org.apache.spark.sql.types.StringType)
+      .add("n", org.apache.spark.sql.types.LongType)
+    val (good, bad) = TextIngest.split(TextIngest.readCsv(spark, cdir, schema))
+    // row 3 (type mismatch) AND row 4 (missing trailing column) are
+    // both malformed to a schema-explicit CSV read: PERMISSIVE
+    // null-fills what it can but still records the raw line, so the
+    // quarantine is a complete ledger of every non-conforming input
+    assert(bad.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("3,gamma,not_a_number", "4,delta"),
+      "malformed lines must be quarantined verbatim")
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "only fully-conforming rows belong in good")
+  }
 }
