@@ -28,8 +28,14 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Both readers are plain FileFormat scans: distributed, splittable
   * (JSONL and uncompressed CSV split on line boundaries), column-
-  * pruned and filter-pushed like any other scan. SourcesSpec pins the
-  * round-trip and the quarantine ledger on real documents data.
+  * pruned and filter-pushed like any other scan. Gzipped inputs
+  * (`*.jsonl.gz` — the crawl-dump norm) decode transparently but gzip
+  * is NOT splittable: parallelism collapses to one task per FILE, so
+  * a 100 TB drop must arrive as many files (it does — crawl shards),
+  * and a `repartition` after the read re-spreads any skewed shard
+  * before expensive downstream stages. SourcesSpec pins the
+  * round-trip, the quarantine ledger, and the gzip path on real
+  * documents data.
   */
 object TextIngest {
 

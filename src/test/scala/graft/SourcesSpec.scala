@@ -68,6 +68,29 @@ class SourcesSpec extends SparkSpec {
       "jsonl round-trip altered rows")
   }
 
+  test("gzipped jsonl decodes transparently, corrupt lines still quarantined") {
+    val docs = tables.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    val gdir = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString + "/docs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(gdir))
+    val lines = docs.select(to_json(struct(docs.columns.map(col): _*)).as("v"))
+      .collect().map(_.getString(0))
+    // two gzip shards + one corrupt line inside the second, like a
+    // truncated crawl shard re-compressed mid-record
+    val (shard1, shard2) = lines.splitAt(lines.length / 2)
+    def writeGz(name: String, ls: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gdir, name)))
+      out.write(ls.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    writeGz("shard-0.jsonl.gz", shard1.toSeq)
+    writeGz("shard-1.jsonl.gz", shard2.toSeq :+ """{"doc_id": 99, "text": "chopped""")
+    val (good, bad) = TextIngest.split(TextIngest.readJsonl(spark, gdir, docs.schema))
+    assert(good.count() == docs.count(), "gz round-trip lost or invented rows")
+    assert(bad.collect().map(_.getString(0)).toSeq ==
+      Seq("""{"doc_id": 99, "text": "chopped"""),
+      "corrupt line inside a gz shard must be quarantined")
+  }
+
   test("csv ingest quarantines malformed rows instead of dropping or failing") {
     val cdir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
     val rows = Seq("1,alpha,10", "2,beta,20", "3,gamma,not_a_number", "4,delta")
