@@ -307,5 +307,34 @@ object Text {
       .orderBy(col("source"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38)
+  /** q78: deterministic stratified sample
+    * ([[graft.operators.Sampling.stratifiedDeterministic]]) — the
+    * reproducible "k docs per source" training-mix draw: rows ranked
+    * inside each stratum by md5(text) (doc_id tie-break for duplicate
+    * content) and the top 10 kept. Content-hash ordering makes the
+    * sample independent of input order and identical across runs,
+    * retries, and engines — which is exactly why it has an exact
+    * oracle while `rand()`-sampling never could. One source exchange +
+    * streaming per-group rank; no global sort. The output is a sample
+    * MANIFEST (stratum, id, size) — at 100 TB the sampled text is
+    * fetched by a downstream join on the ids, not carried through the
+    * rank shuffle, so the scan reads only the columns the draw needs
+    * (pinned by the PlanHygieneSpec pruning sweep).
+    */
+  val q78 = Q.of(
+    "q78_stratified_sample",
+    """SELECT source, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 10
+      |ORDER BY source, doc_id""".stripMargin) { t =>
+    graft.operators.Sampling.stratifiedDeterministic(
+        t.documents.select(col("source"), col("doc_id"), col("n_chars"), col("text")),
+        col("source"), col("text"), col("doc_id"), k = 10)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78)
 }

@@ -208,4 +208,25 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e off by >10%")
     }
   }
+
+  test("stratifiedDeterministic: input-order independent, per-stratum capped, reproducible") {
+    import graft.operators.Sampling
+    val docs = tables.documents
+    def sample(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      Sampling.stratifiedDeterministic(df, col("source"), col("text"), col("doc_id"), k = 7)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = sample(docs)
+    // permute physical input order: different partitioning + reversed
+    // in-partition order must not change a content-addressed sample
+    val permuted = sample(docs.repartition(7, col("n_chars")).sortWithinPartitions(col("doc_id").desc))
+    assert(base == permuted, "sample depends on input order")
+    // cap: exactly min(k, stratum size) per source
+    val counts = base.groupBy(_._1).view.mapValues(_.size).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- sizes)
+      assert(counts.getOrElse(src, 0) == math.min(7L, n),
+        s"$src: sampled ${counts.getOrElse(src, 0)} of $n with k=7")
+  }
 }
