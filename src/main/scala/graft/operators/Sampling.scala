@@ -33,4 +33,32 @@ object Sampling {
         Seq(md5(hashKey.cast("string")), tieBreak), k, rankCol = "graft_sample_rank")
       .drop("graft_sample_rank")
   }
+
+  /** Deterministic train/val/test split: each row's bucket is decided
+    * by comparing md5(`hashKey`) LEXICOGRAPHICALLY against hex-prefix
+    * thresholds — pure column arithmetic, no shuffle at all, and the
+    * same row lands in the same bucket on every run, engine, and
+    * cluster size (which is what makes eval sets stable and leakage
+    * auditable). Weights are quantized to 1/65536 (4 hex chars):
+    * bucket i receives exactly round(wᵢ·65536)/65536 of the hash
+    * space. Lowercase-hex string comparison is identical across
+    * engines, so the assignment — not just the counts — has an exact
+    * oracle (q79).
+    *
+    * `splits` = (label, weight) pairs; weights must sum to 1 (±1e-9).
+    */
+  def hashSplit(df: DataFrame, hashKey: Column, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two buckets")
+    require(splits.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
+    val thresholds = cum.map(p => f"${math.round(p * 65536)}%04x")
+    val h = md5(hashKey.cast("string"))
+    val pairs = thresholds.zip(splits.map(_._1))
+    val assigned = pairs.tail.foldLeft(when(h < lit(pairs.head._1), pairs.head._2)) {
+      case (acc, (t, label)) => acc.when(h < lit(t), label)
+    }.otherwise(splits.last._1)
+    df.withColumn(splitCol, assigned)
+  }
 }

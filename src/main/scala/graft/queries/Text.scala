@@ -336,5 +336,34 @@ object Text {
       .orderBy(col("source"), col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78)
+  /** q79: deterministic train/val/test split
+    * ([[graft.operators.Sampling.hashSplit]] 80/10/10) rolled up per
+    * (split, lang) — the assignment is pure column arithmetic on
+    * md5-prefix thresholds (no shuffle for the split itself; the only
+    * exchange is this health-check rollup), identical across runs,
+    * engines, and cluster sizes. Thresholds: round(.8·65536) = 0xcccd,
+    * round(.9·65536) = 0xe666 — lowercase-hex string comparison
+    * matches DuckDB exactly, so even the per-bucket membership is
+    * oracle-checked (through these counts; DedupSpec-style exactness
+    * rides on md5 agreement already proven by q40).
+    */
+  val q79 = Q.of(
+    "q79_train_test_split",
+    """SELECT split, lang, COUNT(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN md5(text) < 'cccd' THEN 'train'
+      |         WHEN md5(text) < 'e666' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin) { t =>
+    graft.operators.Sampling.hashSplit(
+        t.documents.select(col("text"), col("lang")),
+        col("text"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78, q79)
 }

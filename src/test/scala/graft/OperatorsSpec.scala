@@ -229,4 +229,27 @@ class OperatorsSpec extends SparkSpec {
       assert(counts.getOrElse(src, 0) == math.min(7L, n),
         s"$src: sampled ${counts.getOrElse(src, 0)} of $n with k=7")
   }
+
+  test("hashSplit: total, disjoint, reproducible, and weight-accurate") {
+    import graft.operators.Sampling
+    val docs = tables.documents
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, col("text"), splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(docs)
+    assert(base.size == docs.count(), "every row must get exactly one bucket")
+    assert(base.values.toSet.subsetOf(Set("train", "val", "test")))
+    // physical layout must not matter — the assignment is per-row math
+    assert(assign(docs.repartition(5, col("lang"))) == base,
+      "assignment depends on partitioning")
+    // content-hash uniformity: shares within a few points of weights
+    // (deterministic for this fixture — not a statistical flake)
+    val n = base.size.toDouble
+    val shares = base.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    for ((label, w) <- splits)
+      assert(math.abs(shares.getOrElse(label, 0.0) - w) < 0.06,
+        s"$label share ${shares.getOrElse(label, 0.0)} vs weight $w")
+  }
 }
