@@ -24,13 +24,17 @@ object Sampling {
     * `tieBreak` making the order total when hash keys collide —
     * duplicate content, for instance). The hash decorrelates the
     * sample from any input ordering; the result is a uniform-ish,
-    * content-addressed, reproducible per-stratum sample.
+    * content-addressed, reproducible per-stratum sample. NULL hash
+    * keys rank LAST on both engines (`asc_nulls_last` here, DuckDB's
+    * ASC default in the oracle) — null-content rows only enter the
+    * sample when a stratum has fewer than k hashable rows.
     */
   def stratifiedDeterministic(df: DataFrame, strataCol: Column, hashKey: Column,
       tieBreak: Column, k: Int): DataFrame = {
     require(k > 0, "sample size must be positive")
     TopK.perGroup(df, Seq(strataCol),
-        Seq(md5(hashKey.cast("string")), tieBreak), k, rankCol = "graft_sample_rank")
+        Seq(md5(hashKey.cast("string")).asc_nulls_last, tieBreak), k,
+        rankCol = "graft_sample_rank")
       .drop("graft_sample_rank")
   }
 
@@ -39,11 +43,18 @@ object Sampling {
     * thresholds — pure column arithmetic, no shuffle at all, and the
     * same row lands in the same bucket on every run, engine, and
     * cluster size (which is what makes eval sets stable and leakage
-    * auditable). Weights are quantized to 1/65536 (4 hex chars):
-    * bucket i receives exactly round(wᵢ·65536)/65536 of the hash
-    * space. Lowercase-hex string comparison is identical across
-    * engines, so the assignment — not just the counts — has an exact
-    * oracle (q79).
+    * auditable). The CUMULATIVE boundaries are quantized to 1/65536
+    * (4 hex chars): bucket i spans [round(cumᵢ₋₁·65536),
+    * round(cumᵢ·65536)) of the hash space, so a bucket's realized
+    * width can differ from round(wᵢ·65536) by one slot. Weights too
+    * small to survive quantization (or boundaries that would collide
+    * or overflow the 4-hex range) are rejected loudly rather than
+    * silently emptying a bucket. Rows with a NULL `hashKey` have a
+    * null hash, fail every threshold comparison, and land
+    * deterministically in the LAST bucket — filter them first if that
+    * sink is not what the mix wants. Lowercase-hex string comparison
+    * is identical across engines, so the assignment — not just the
+    * counts — has an exact oracle (q79).
     *
     * `splits` = (label, weight) pairs; weights must sum to 1 (±1e-9).
     */
@@ -53,7 +64,15 @@ object Sampling {
     require(splits.forall(_._2 > 0), "weights must be positive")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
-    val thresholds = cum.map(p => f"${math.round(p * 65536)}%04x")
+    val cuts = cum.map(p => math.round(p * 65536))
+    // every quantized boundary must stay inside the 4-hex space and
+    // carve a non-empty slice for BOTH its neighbors — a 1e-6 weight
+    // would otherwise produce "0000"/duplicate/5-char thresholds that
+    // silently collapse buckets
+    require((0L +: cuts).zip(cuts :+ 65536L).forall { case (a, b) => a < b && b <= 65536 },
+      s"weights quantize to empty or out-of-range buckets at 1/65536 " +
+        s"granularity: ${splits.map(_._2).mkString(", ")}")
+    val thresholds = cuts.map(t => f"$t%04x")
     val h = md5(hashKey.cast("string"))
     val pairs = thresholds.zip(splits.map(_._1))
     val assigned = pairs.tail.foldLeft(when(h < lit(pairs.head._1), pairs.head._2)) {

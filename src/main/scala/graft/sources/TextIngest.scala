@@ -77,6 +77,12 @@ object TextIngest {
     * references only the corrupt-record column of a live json/csv
     * scan. Callers own the returned frames' lifecycle; the tracked
     * cache is released by the enclosing [[graft.CacheScope]].
+    *
+    * The cache makes this the INTERACTIVE-scale path: it materializes
+    * the whole parsed frame (memory-and-disk) before either half is
+    * usable. For an ingest bigger than the cluster wants to cache,
+    * use [[splitToStore]] — one pass, no cache, the conformity flag
+    * becomes a prunable partition column.
     */
   def split(parsed: DataFrame): (DataFrame, DataFrame) = {
     val mat = graft.CacheScope.trackedCache(parsed)
@@ -85,4 +91,17 @@ object TextIngest {
       .select(col(QuarantineCol).as("raw_line"))
     (good, bad)
   }
+
+  /** One-pass scale variant of [[split]]: lands the parsed frame as
+    * parquet partitioned by a conformity flag (plus any further
+    * `partitionCols`), so good rows and the quarantine ledger are
+    * separated by DIRECTORY — downstream reads of either side get
+    * planning-time pruning ([[PartitionedStore]]), nothing is cached,
+    * and the raw text is scanned exactly once.
+    */
+  def splitToStore(parsed: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit =
+    PartitionedStore.writePartitioned(
+      parsed.withColumn("graft_is_corrupt", col(QuarantineCol).isNotNull),
+      path, "graft_is_corrupt" +: partitionCols)
 }

@@ -251,5 +251,13 @@ class OperatorsSpec extends SparkSpec {
     for ((label, w) <- splits)
       assert(math.abs(shares.getOrElse(label, 0.0) - w) < 0.06,
         s"$label share ${shares.getOrElse(label, 0.0)} vs weight $w")
+    // weights that quantize to empty/overflowing buckets must be
+    // rejected loudly, not silently collapsed (review finding: a
+    // cumulative sum rounding to 65536 formats as 5-char "10000")
+    for (badSplits <- Seq(
+      Seq("a" -> 0.999999, "b" -> 0.000001),
+      Seq("a" -> 0.000001, "b" -> 0.000001, "c" -> 0.999998)))
+      assertThrows[IllegalArgumentException](
+        Sampling.hashSplit(docs, col("text"), badSplits))
   }
 }

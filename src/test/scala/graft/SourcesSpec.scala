@@ -91,6 +91,26 @@ class SourcesSpec extends SparkSpec {
       "corrupt line inside a gz shard must be quarantined")
   }
 
+  test("splitToStore: one-pass landing, conformity flag prunes at planning time") {
+    val docs = tables.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    val jdir = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString + "/in"
+    docs.select(to_json(struct(docs.columns.map(col): _*)).as("v")).write.text(jdir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(jdir, "part-bad.txt"),
+      "definitely not json".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("graft_landed").toString + "/docs"
+    TextIngest.splitToStore(TextIngest.readJsonl(spark, jdir, docs.schema), out)
+    val landed = PartitionedStore.readPartitioned(spark, out)
+    val good = landed.filter(col("graft_is_corrupt") === false)
+    val plan = good.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*graft_is_corrupt".r.findFirstIn(plan).isDefined,
+      s"conformity flag not a partition filter:\n$plan")
+    assert(good.count() == docs.count())
+    assert(landed.filter(col("graft_is_corrupt") === true)
+      .select(TextIngest.QuarantineCol).collect().map(_.getString(0)).toSeq ==
+      Seq("definitely not json"))
+  }
+
   test("csv ingest quarantines malformed rows instead of dropping or failing") {
     val cdir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
     val rows = Seq("1,alpha,10", "2,beta,20", "3,gamma,not_a_number", "4,delta")
