@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ordered prefix sum — the scalable form of
+  * `SUM(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`.
+  *
+  * A global-order running sum is the shape behind training-shard
+  * packing ("assign each doc to the shard where its cumulative token
+  * budget lands"), but the naive window with no PARTITION BY collapses
+  * to ONE task holding the whole dataset — the exact degradation
+  * WindowExec warns about. The classic fix is a two-phase scan:
+  *
+  *  1. range-partition on the order key (so partition i holds rows
+  *     strictly before partition i+1) and sum each partition locally;
+  *  2. collect ONE long per partition — bounded driver state, same
+  *     budget class as IVF centroids — prefix-sum those on the
+  *     driver, and broadcast each partition's exclusive offset back;
+  *  3. every partition computes its local running sum in parallel and
+  *     adds its offset.
+  *
+  * Cost: the range exchange, a per-partition-sums job over the cached
+  * frame, and the pid-clustered window (Spark re-clusters by pid —
+  * partition-sized tasks, never a global collapse). Parallelism is
+  * full at every step; driver state is `numPartitions` longs.
+  *
+  * `orderBy` must be a TOTAL order (e.g. (md5(text), doc_id)):
+  * range-partition boundaries between equal keys would otherwise make
+  * the partition-local sums nondeterministic.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = inclusive running sum of `value` (cast to long)
+    * over the global `orderBy` order. The input is materialized via
+    * [[graft.CacheScope.trackedCache]] (the partial-sums job and the
+    * final pass must see identical partitioning).
+    */
+  def orderedRunningSum(df: DataFrame, orderBy: Seq[Column], value: Column,
+      outCol: String, numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = graft.CacheScope.trackedCache(
+      df.repartitionByRange(numPartitions, orderBy: _*)
+        .withColumn("graft_pid", spark_partition_id()))
+    val partials = ranged.groupBy(col("graft_pid"))
+      .agg(sum(value.cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partials.isEmpty) -1 else partials.keys.max
+    val offsets = (0 to maxPid)
+      .scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
+      .dropRight(1)
+    val offsetDf = offsets.zipWithIndex
+      .map { case (o, p) => (p, o) }.toDF("graft_pid", "graft_offset")
+    val w = Window.partitionBy(col("graft_pid")).orderBy(orderBy: _*)
+    ranged
+      .join(broadcast(offsetDf), Seq("graft_pid"))
+      .withColumn(outCol, sum(value.cast("long")).over(w) + col("graft_offset"))
+      .drop("graft_pid", "graft_offset")
+  }
+}

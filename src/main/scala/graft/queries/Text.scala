@@ -365,5 +365,39 @@ object Text {
       .orderBy(col("split"), col("lang"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78, q79)
+  /** q80: deterministic shard packing
+    * ([[graft.operators.PrefixSum.orderedRunningSum]]) — docs packed
+    * into fixed-budget shards (20k chars here) in content-hash order:
+    * shard = exclusive running cost ÷ budget, so a doc lands in the
+    * shard where its first byte falls and shard boundaries are
+    * identical on every run/engine. The running sum is the DISTRIBUTED
+    * two-phase prefix scan (range partition → per-partition offsets
+    * through bounded driver state → parallel local sums), never the
+    * single-task global window; the rollup is per-shard doc counts
+    * and total cost, oracle-checked against DuckDB's window cumsum.
+    */
+  val q80 = Q.of(
+    "q80_token_shards",
+    """WITH ordered AS (
+      |  SELECT doc_id, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY md5(text), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS excl
+      |  FROM documents
+      |)
+      |SELECT excl // 20000 AS shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM ordered GROUP BY 1 ORDER BY shard_id""".stripMargin) { t =>
+    import graft.operators.PrefixSum
+    val run = PrefixSum.orderedRunningSum(
+      t.documents.select(col("doc_id"), col("n_chars"), md5(col("text")).as("graft_h")),
+      orderBy = Seq(col("graft_h"), col("doc_id")),
+      value = col("n_chars"), outCol = "graft_run", numPartitions = 8)
+    run
+      .withColumn("shard_id", expr("(graft_run - n_chars) div 20000"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("shard_id"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78, q79, q80)
 }

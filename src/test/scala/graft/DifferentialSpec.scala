@@ -270,4 +270,38 @@ class DifferentialSpec extends SparkSpec {
         s"dpercentile($f) on n=${arr.size}: got $out expected $expect")
     }
   }
+
+  test("PrefixSum.orderedRunningSum equals the sequential cumsum across partition counts") {
+    import graft.operators.PrefixSum
+    import spark.implicits._
+    val rnd = new Random(171)
+    // duplicate order keys are EXCLUDED by contract (total order
+    // required); ids are unique, keys include negatives and repeats of
+    // magnitude to stress range boundaries
+    val rows = (1L to 400L).map(id => (id, rnd.nextInt(2000) - 500L))
+    val expect = {
+      var acc = 0L
+      rows.sortBy(_._1).map { case (id, v) => acc += v; (id, acc) }.toMap
+    }
+    for (parts <- Seq(1, 3, 7, 32, 1000)) { // 1000 > rows: empty partitions
+      val df = rows.toDF("id", "v").repartition(11) // scrambled physical layout
+      val got = PrefixSum.orderedRunningSum(df, Seq(col("id")), col("v"), "run", parts)
+        .select("id", "run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, {
+        val bad = expect.keys.filter(k => got.get(k) != expect.get(k)).take(5)
+        s"parts=$parts diverged at ids $bad"
+      })
+      graft.CacheScope.releaseAll()
+    }
+  }
+
+  test("q80's plan never collapses to a single-partition global window") {
+    val df = run("q80_token_shards")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = physicalNodesWithCached(df).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"unpartitioned WindowExec in the shard-packing plan:\n${globals.mkString("\n")}")
+  }
 }
