@@ -45,8 +45,11 @@ object PrefixSum {
     val ranged = graft.CacheScope.trackedCache(
       df.repartitionByRange(numPartitions, orderBy: _*)
         .withColumn("graft_pid", spark_partition_id()))
+    // coalesce: a partition whose every value is NULL sums to NULL
+    // (SQL semantics) — treat it as contributing nothing rather than
+    // NPE-ing the driver fold
     val partials = ranged.groupBy(col("graft_pid"))
-      .agg(sum(value.cast("long")).as("s"))
+      .agg(coalesce(sum(value.cast("long")), lit(0L)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (partials.isEmpty) -1 else partials.keys.max
     val offsets = (0 to maxPid)
