@@ -213,11 +213,16 @@ object Multimodal {
       val hex = md5Hex()
       it.map { case (id, payload) =>
         PngCodec.decode(payload) match {
-          case Some(img) =>
+          // the pixel-buffer gate depends on the PER-ROW channel
+          // count: checking here (instead of letting resizeNearest's
+          // require throw) keeps a mixed gray/RGBA corpus from killing
+          // the task on the first wide row — ok=false, like any other
+          // unprocessable payload
+          case Some(img) if outW.toLong * outH * img.channels <= PngCodec.MaxPixelBytes =>
             val out = PngCodec.encode(PngCodec.resizeNearest(img, outW, outH))
             ResizedImage(id, ok = true, outW.toLong, outH.toLong,
               byteLen(payload), out.length.toLong, hex(out))
-          case None =>
+          case _ =>
             ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
         }
       }
@@ -239,11 +244,13 @@ object Multimodal {
       val hex = md5Hex()
       it.map { case (id, payload) =>
         PpmCodec.decode(payload) match {
-          case Some(img) =>
+          // same non-throwing gate as the PNG twin (PPM is always 3
+          // channels, but a hostile target must still reject per-row)
+          case Some(img) if outW.toLong * outH * 3 <= PngCodec.MaxPixelBytes =>
             val out = PpmCodec.encode(PpmCodec.resizeNearest(img, outW, outH))
             ResizedImage(id, ok = true, outW.toLong, outH.toLong,
               byteLen(payload), out.length.toLong, hex(out))
-          case None =>
+          case _ =>
             ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
         }
       }
@@ -272,7 +279,12 @@ object Multimodal {
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte], String, Long, Long)].mapPartitions { it =>
       val hex = md5Hex()
-      it.map { case (id, payload, format, w, h) =>
+      it.map { case (id, payload0, format, w, h) =>
+        // NULL binary cells process as empty payloads — a stub "codec"
+        // must not kill the task any more than the real ones do (the
+        // columnar stub null-propagates instead; nulls never occur in
+        // the q61 oracle data, this is task-survival hardening)
+        val payload = if (payload0 == null) Array.emptyByteArray else payload0
         val resized = Array.tabulate((payload.length + factor - 1) / factor)(j =>
           payload(j * factor))
         val len = resized.length
@@ -307,7 +319,10 @@ object Multimodal {
     import slim.sparkSession.implicits._
     slim.as[(Long, Array[Byte])].mapPartitions { it =>
       val hex = md5Hex()
-      it.map { case (id, payload) =>
+      it.map { case (id, payload0) =>
+        // NULL -> empty payload, same task-survival rule as the
+        // resize stub above
+        val payload = if (payload0 == null) Array.emptyByteArray else payload0
         val len = payload.length
         val limit = math.max(len - 15, 1)
         var i = 1

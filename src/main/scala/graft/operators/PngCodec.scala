@@ -29,9 +29,11 @@ object PngCodec {
 
   /** Guard against decompression bombs: reject images whose raw pixel
     * buffer would exceed 256 MiB — far above any sane payload here and
-    * small enough that a hostile header can't OOM an executor.
+    * small enough that a hostile header can't OOM an executor. Shared
+    * by the PPM tier and the batch plumbing's pre-resize checks so the
+    * budget can never silently diverge between formats.
     */
-  private val MaxPixelBytes: Long = 256L << 20
+  private[operators] val MaxPixelBytes: Long = 256L << 20
 
   private def beInt(b: Array[Byte], at: Int): Int =
     ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
@@ -114,8 +116,14 @@ object PngCodec {
         if (n == 0 && !inf.finished()) return None // truncated / needs dict
         got += n
       }
-      // exact payload: everything inflated, nothing left over
+      // exact payload: everything inflated, nothing left over, and the
+      // stream must reach its END — a deflate stream cut after the
+      // last data symbol but before the end-of-block marker + adler32
+      // trailer yields full output with finished() still false, and
+      // skipping the finished check would also skip zlib's adler32
+      // integrity verification
       if (got != raw.length || inf.inflate(new Array[Byte](1)) != 0) return None
+      if (!inf.finished()) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()

@@ -79,8 +79,8 @@ object PpmCodec {
     */
   def resizeNearest(img: Ppm, outW: Int, outH: Int): Ppm = {
     require(outW > 0 && outH > 0, "target dims must be positive")
-    require(outW.toLong * outH * 3 <= (256L << 20),
-      "target exceeds the 256 MiB pixel-buffer gate")
+    require(outW.toLong * outH * 3 <= PngCodec.MaxPixelBytes,
+      s"target exceeds the ${PngCodec.MaxPixelBytes >> 20} MiB pixel-buffer gate")
     val dst = new Array[Byte](outW * outH * 3)
     var y = 0
     while (y < outH) {

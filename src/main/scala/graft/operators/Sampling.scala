@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Keeps `k` rows per stratum, ranked by an EXISTING key column
+    * (asc, nulls last — DuckDB's ASC default, so oracles agree) with
+    * `tieBreak` making the order total. This is the slim-shuffle form:
+    * when the ranking key is a hash of a heavy column, compute the
+    * hash BEFORE calling this and project the heavy column away, so
+    * the rank exchange ships ids and hashes — not the corpus (the q78
+    * plan does exactly that; q80's prefix scan uses the same device).
+    */
+  def stratifiedByKey(df: DataFrame, strataCol: Column, rankKey: Column,
+      tieBreak: Column, k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    TopK.perGroup(df, Seq(strataCol),
+        Seq(rankKey.asc_nulls_last, tieBreak), k, rankCol = "graft_sample_rank")
+      .drop("graft_sample_rank")
+  }
+
   /** Keeps `k` rows per stratum, chosen by md5 of `hashKey` (with
     * `tieBreak` making the order total when hash keys collide —
     * duplicate content, for instance). The hash decorrelates the
@@ -28,15 +44,15 @@ object Sampling {
     * keys rank LAST on both engines (`asc_nulls_last` here, DuckDB's
     * ASC default in the oracle) — null-content rows only enter the
     * sample when a stratum has fewer than k hashable rows.
+    *
+    * Convenience form: ranks on md5 computed in place, so whatever
+    * `df` carries rides the rank exchange. For heavy payload columns
+    * prefer hashing first and calling [[stratifiedByKey]] on the slim
+    * projection.
     */
   def stratifiedDeterministic(df: DataFrame, strataCol: Column, hashKey: Column,
-      tieBreak: Column, k: Int): DataFrame = {
-    require(k > 0, "sample size must be positive")
-    TopK.perGroup(df, Seq(strataCol),
-        Seq(md5(hashKey.cast("string")).asc_nulls_last, tieBreak), k,
-        rankCol = "graft_sample_rank")
-      .drop("graft_sample_rank")
-  }
+      tieBreak: Column, k: Int): DataFrame =
+    stratifiedByKey(df, strataCol, md5(hashKey.cast("string")), tieBreak, k)
 
   /** Deterministic train/val/test split: each row's bucket is decided
     * by comparing md5(`hashKey`) LEXICOGRAPHICALLY against hex-prefix

@@ -316,10 +316,12 @@ object Text {
     * retries, and engines — which is exactly why it has an exact
     * oracle while `rand()`-sampling never could. One source exchange +
     * streaming per-group rank; no global sort. The output is a sample
-    * MANIFEST (stratum, id, size) — at 100 TB the sampled text is
-    * fetched by a downstream join on the ids, not carried through the
-    * rank shuffle, so the scan reads only the columns the draw needs
-    * (pinned by the PlanHygieneSpec pruning sweep).
+    * MANIFEST (stratum, id, size), and the hash is computed scan-side
+    * BEFORE the rank exchange with the text projected away — at
+    * 100 TB the rank shuffle ships (source, id, size, 32-byte hash),
+    * never the corpus; the sampled text is fetched by a downstream
+    * join on the ids (slim exchange + pruned scan pinned by
+    * RelationalSpec/PlanHygieneSpec).
     */
   val q78 = Q.of(
     "q78_stratified_sample",
@@ -329,9 +331,10 @@ object Text {
       |  FROM documents
       |) WHERE rk <= 10
       |ORDER BY source, doc_id""".stripMargin) { t =>
-    graft.operators.Sampling.stratifiedDeterministic(
-        t.documents.select(col("source"), col("doc_id"), col("n_chars"), col("text")),
-        col("source"), col("text"), col("doc_id"), k = 10)
+    graft.operators.Sampling.stratifiedByKey(
+        t.documents.select(col("source"), col("doc_id"), col("n_chars"),
+          md5(col("text")).as("graft_h")),
+        col("source"), col("graft_h"), col("doc_id"), k = 10)
       .select(col("source"), col("doc_id"), col("n_chars"))
       .orderBy(col("source"), col("doc_id"))
   }

@@ -260,4 +260,11 @@ class OperatorsSpec extends SparkSpec {
       assertThrows[IllegalArgumentException](
         Sampling.hashSplit(docs, col("text"), badSplits))
   }
+
+  test("q78's rank exchange ships hashes and ids, never the corpus text") {
+    val df = run("q78_stratified_sample")
+    val leaky = shuffles(df).filter(_.output.exists(_.name == "text"))
+    assert(leaky.isEmpty,
+      s"text column rides a shuffle in the sampling plan:\n${leaky.mkString("\n")}")
+  }
 }
