@@ -387,7 +387,7 @@ object Text {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS excl
       |  FROM documents
       |)
-      |SELECT excl // 20000 AS shard_id, COUNT(*) AS n_docs,
+      |SELECT CAST(excl // 20000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM ordered GROUP BY 1 ORDER BY shard_id""".stripMargin) { t =>
     import graft.operators.PrefixSum

@@ -47,6 +47,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
         print(f"FAIL {name}: rows spark={len(spark_df)} oracle={len(oracle_df)}")
         return False
     s, o = norm(spark_df), norm(oracle_df)
+    # The driver's hash compare is dtype-sensitive (e.g. a DuckDB
+    # windowed SUM widens to HUGEINT -> float64 while Spark emits
+    # int64; values equal, hash differs — the r6 q80 failure class).
+    # Fail locally on any dtype drift so it can't reach the driver.
+    # Integer WIDTH differences (int32 vs int64) pass the driver hash
+    # (q48 was green in r6 with int32 day_of_week) — canonicalize those;
+    # only KIND drift (int vs float/object) is the real failure class.
+    def canon(t):
+        t = str(t)
+        return "int64" if t in ("int8", "int16", "int32", "int64",
+                                "uint8", "uint16", "uint32", "uint64") else t
+    dt_s = [canon(t) for t in s.dtypes]
+    dt_o = [canon(t) for t in o.dtypes]
+    if dt_s != dt_o:
+        diff = {c: (a, b) for c, a, b in zip(s.columns, dt_s, dt_o) if a != b}
+        print(f"FAIL {name}: dtype mismatch (driver hash is dtype-sensitive): {diff}")
+        return False
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
