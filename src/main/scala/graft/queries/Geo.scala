@@ -224,10 +224,18 @@ object Geo {
 
       val viewed = v.select(col("country_key").as("w_key"), col("content_id").as("w_cid"))
         .distinct()
+      // The reference's market is a literal 10-country IN list, mapped
+      // to nationkeys 0..9 (SURVEY §3) — so the candidate fan-out is a
+      // literal explode: pure codegen, no join node, no exchange
+      // (previously a crossJoin over a nation-derived frame, the one
+      // non-literal BNLJ in the registry). A key with no actual data
+      // falls out downstream exactly as with the oracle's
+      // nation-derived list: rec only left-joins into lo, and lo
+      // requires the country to have preference cells.
       val cand = partDim
         .withColumn("rating", (col("p_retailprice") - 900) / 2)
         .filter(col("rating") > 7)
-        .crossJoin(broadcast(market.select(col("country_key"))))
+        .withColumn("country_key", explode(lit((0 until 10).toArray)))
         .join(viewed,
           col("w_key") === col("country_key") && col("w_cid") === col("p_partkey"),
           "left_anti")

@@ -31,14 +31,9 @@ class PlanHygieneSpec extends SparkSpec {
     *    set is the broadcast side, the corpus side streams (never
     *    shuffled), and the LSH/IVF entries (q51/q52) are the scale
     *    path for when the query set itself grows (SURVEY §5).
-    *  - q57 — the pairwise cross-country comparison crosses per-country
-    *    CELL AGGREGATES whose key domain is capped at 10 countries by
-    *    the isin gate: ≤ 100 pairs regardless of corpus size, and the
-    *    fact table is never touched by the comparison (Geo.scala).
     */
   private val allowedBnlj = Set(
-    "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
-    "q57_geo_preferences")
+    "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
