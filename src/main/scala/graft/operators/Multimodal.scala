@@ -169,6 +169,87 @@ object Multimodal {
     }
   }
 
+  /** REAL batched audio decode for ANY JDK-supported container —
+    * AIFF / AU / WAV via [[AudioContainers]] (javax.sound providers):
+    * the container-agnostic generalization of [[decodeWavBatched]],
+    * same row contract, partitioning preserved, no shuffle.
+    */
+  def decodeAudioBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        AudioContainers.decode(payload) match {
+          case Some(w) =>
+            val loudness = WavCodec.rms(w)
+            DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
+              w.nFrames.toLong, w.durationSec,
+              if (loudness.isEmpty) 0.0 else loudness.max, byteLen(payload))
+          case None =>
+            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, byteLen(payload))
+        }
+      }
+    }
+  }
+
+  /** REAL batched image decode for JPEG payloads ([[JpegCodec]] over
+    * the JDK's imageio plugin) — same contract as
+    * [[decodePpmBatched]]: header dims and channel means per row,
+    * `ok = false` for anything the total decoder rejects (non-JPEG
+    * signatures, CMYK, malformed streams), input partitioning
+    * preserved, no shuffle. Gray means fan out to (r, g, b) like the
+    * PNG path.
+    */
+  def decodeJpegBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        JpegCodec.decode(payload) match {
+          case Some(img) =>
+            val m = PngCodec.channelMeans(img)
+            val (r, g, b) = img.channels match {
+              case 1 => (m(0), m(0), m(0))
+              case _ => (m(0), m(1), m(2))
+            }
+            DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
+              r, g, b, byteLen(payload))
+          case None =>
+            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
+        }
+      }
+    }
+  }
+
+  /** REAL batched resize for JPEG payloads: decode → nearest-neighbor
+    * resample ([[PngCodec.resizeNearest]] on the shared raster type)
+    * → fixed-quality JPEG re-encode, md5 of the re-encoded bytes as
+    * the output content address. Same error-tolerance and
+    * partition-preservation as the PNG/PPM twins. (JPEG re-encode is
+    * deterministic within a JVM but not across decoder
+    * implementations — see [[JpegCodec]] — so the checksum is a
+    * content address, not a cross-engine oracle.)
+    */
+  def resizeJpegBatched(df: DataFrame, idCol: String,
+      outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0)
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      val hex = md5Hex()
+      it.map { case (id, payload) =>
+        JpegCodec.decode(payload) match {
+          case Some(img) if outW.toLong * outH * img.channels <= PngCodec.MaxPixelBytes =>
+            val out = JpegCodec.encode(PngCodec.resizeNearest(img, outW, outH))
+            ResizedImage(id, ok = true, outW.toLong, outH.toLong,
+              byteLen(payload), out.length.toLong, hex(out))
+          case _ =>
+            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
+        }
+      }
+    }
+  }
+
   /** REAL batched image decode for PNG payloads ([[PngCodec]]) — same
     * contract as [[decodePpmBatched]], but the decode is the full PNG
     * critical path: CRC-checked chunk walk, zlib inflate, five-filter
