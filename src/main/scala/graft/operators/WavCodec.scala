@@ -44,7 +44,10 @@ object WavCodec {
         channels = buf.getShort(pos + 10) & 0xffff
         sampleRate = buf.getInt(pos + 12)
         bits = buf.getShort(pos + 22) & 0xffff
-      } else if (id == 0x61746164) { // "data"
+      } else if (id == 0x61746164 && data.isEmpty) { // "data" — FIRST
+        // chunk wins: common decoders take the first data chunk, and
+        // last-wins would make adversarial multi-data files decode
+        // differently here than in standard tooling (ADVICE r6)
         data = Some((pos + 8, size))
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned

@@ -275,11 +275,24 @@ object EventStreams {
     * from 1, diverging from the batch path (StreamingDifferentialSpec
     * pins stream ≡ batch across random epoch splits, session_seq
     * included).
+    *
+    * Tombstones are NOT kept forever (ADVICE r6: unbounded per-user
+    * state on an ever-growing user set): each tombstone re-registers a
+    * long secondary timeout at (last event + `tombstoneTtlSeconds`)
+    * and is REMOVED when that fires, bounding the state store to users
+    * active within the TTL. The trade-off is explicit: a user
+    * returning after a full TTL of event-time silence restarts at
+    * session_seq 1, so stream ≡ batch holds exactly for inactivity
+    * gaps under the TTL (default 30 days — far past any plausible
+    * session-gap parameter; must exceed the session gap).
     * Input needs (user_id, event_id, ts) with ts a watermarkable event
     * time.
     */
   def sessionizeStream(events: org.apache.spark.sql.DataFrame, gapSeconds: Long,
-      watermarkDelay: String = "2 hours"): Dataset[GraftSession] = {
+      watermarkDelay: String = "2 hours",
+      tombstoneTtlSeconds: Long = 30L * 24 * 3600): Dataset[GraftSession] = {
+    require(tombstoneTtlSeconds > gapSeconds,
+      "tombstone TTL must exceed the session gap or open sessions could outlive their tombstones")
     val gapUs = gapSeconds * 1000000L
     events
       .withWatermark("ts", watermarkDelay)
@@ -291,18 +304,37 @@ object EventStreams {
         (userId: Long, it: Iterator[GraftEventW], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            // keep a counter-only tombstone (n = 0) instead of
-            // removing state: dropping the seq counter would restart
-            // the user's next session at 1, silently diverging from
-            // the batch path's monotone per-user numbering (caught by
-            // StreamingDifferentialSpec's random-epoch sweep — the
-            // fixture tests never fired a timeout). Cost: 4 longs per
-            // ever-seen user, the same O(users) any per-user aggregate
-            // carries; no new timeout is registered, so the tombstone
-            // is inert until the user's next event.
-            state.update(SessState(st.seq + 1, 0L, st.last_us, st.last_us))
-            Iterator.single(GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
-              st.last_us - st.start_us))
+            if (st.n == 0L) {
+              // the TOMBSTONE's TTL fired: the user has been silent a
+              // full tombstoneTtl past their last event — drop the
+              // counter and bound the state store (their next session,
+              // if any, renumbers from 1; documented trade-off above)
+              state.remove()
+              Iterator.empty
+            } else {
+              // session timeout: emit the closed session and keep a
+              // counter-only tombstone (n = 0) instead of removing
+              // state — dropping the seq counter here would restart
+              // the user's next session at 1, silently diverging from
+              // the batch path's monotone per-user numbering (caught
+              // by StreamingDifferentialSpec's random-epoch sweep).
+              // The tombstone carries its own long timeout so it ages
+              // out instead of living forever (ADVICE r6).
+              val ttlMs = st.last_us / 1000L + tombstoneTtlSeconds * 1000L
+              if (ttlMs <= state.getCurrentWatermarkMs()) {
+                // the watermark already passed the TTL point by the
+                // time this session closed (possible when the session
+                // timeout fires late): the tombstone is expired on
+                // arrival — registering it would also trip Spark's
+                // timeout-behind-watermark check. Remove directly.
+                state.remove()
+              } else {
+                state.update(SessState(st.seq + 1, 0L, st.last_us, st.last_us))
+                state.setTimeoutTimestamp(ttlMs)
+              }
+              Iterator.single(GraftSession(userId, st.seq, st.n, st.start_us, st.last_us,
+                st.last_us - st.start_us))
+            }
           } else {
             val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id)).map(e => (e.ts_us, e.event_id))
             val (closed, open) = advanceSessions(userId, sorted, state.getOption, gapUs)

@@ -234,4 +234,49 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(kept == expect,
       s"survivor mismatch: extra=${kept -- expect} missing=${expect -- kept}")
   }
+
+  test("sessionizeStream tombstones survive within the TTL and age out past it") {
+    // gap 10 min, TTL 1 h: user 1's seq counter must carry across a
+    // sub-TTL silence (second session numbered 2) and be DROPPED after
+    // a full TTL of event-time silence (third session renumbers from
+    // 1) — the bounded-state contract in the sessionizeStream scaladoc.
+    val minUs = 60L * 1000000L
+    val t0 = 24L * 60 * minUs // a day past the epoch (watermark-0 rule)
+    var id = 0L
+    def ev(u: Long, atUs: Long): GraftEvent = { id += 1; GraftEvent(u, id, atUs) }
+
+    val input = MemoryStream[GraftEvent](spark)
+    val stream = input.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val q = EventStreams.sessionizeStream(stream, gapSeconds = 600,
+        watermarkDelay = "1 minute", tombstoneTtlSeconds = 3600)
+      .writeStream.format("memory").queryName("tombttl")
+      .outputMode("append").start()
+    try {
+      // each wm-advancing step feeds TWO user-2 batches because a
+      // timeout fires one batch AFTER the watermark passes it (the
+      // batch's timeout check uses the PREVIOUS batch-end watermark)
+      val feed = Seq(
+        Seq(ev(1, t0)),                       // open u1 session 1
+        Seq(ev(2, t0 + 20 * minUs)), Seq(ev(2, t0 + 21 * minUs)),
+        //   ^ wm past t0+gap: u1 s1 times out -> tombstone seq2, TTL t0+60min
+        Seq(ev(1, t0 + 30 * minUs)),          // within TTL: opens seq-2 session
+        Seq(ev(2, t0 + 50 * minUs)), Seq(ev(2, t0 + 51 * minUs)),
+        //   ^ wm past t0+40min: u1 s2 times out -> tombstone seq3, TTL t0+90min
+        Seq(ev(2, t0 + 180 * minUs)), Seq(ev(2, t0 + 181 * minUs)),
+        //   ^ wm past t0+90min: u1 TOMBSTONE ages out (state removed, no emission)
+        Seq(ev(1, t0 + 240 * minUs)),         // post-TTL return: must renumber from 1
+        Seq(ev(2, t0 + 360 * minUs)), Seq(ev(2, t0 + 361 * minUs)))
+        //   ^ wm past t0+250min: u1's returned session times out and emits
+      feed.foreach { batch => input.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    val u1 = spark.table("tombttl").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(3))) // (session_seq, start_us)
+      .sortBy(_._2)
+    assert(u1.toSeq == Seq((1L, t0), (2L, t0 + 30 * minUs), (1L, t0 + 240 * minUs)),
+      s"tombstone TTL semantics diverged: got ${u1.toSeq} " +
+        "(expected seq 2 within the TTL, renumber to 1 after it)")
+  }
 }
