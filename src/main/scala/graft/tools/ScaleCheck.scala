@@ -7,12 +7,16 @@ import graft.functions.vec
 
 /** Prints LSH candidate volumes at two scale factors — the §5
   * "candidate volume stays ~linear" evidence run (VERDICT r2 #9).
+  * Pass table dirs as args to measure other jumps (e.g. the GenScale
+  * sf1 output for the sf0.1 -> sf1 decade).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+               else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
       val t = Tables(spark, dir)
       val nDocs = t.documents.count()
       val sigs = D.withMinHashFromText(t.documents, "text", n = 5, numHashes = 64)

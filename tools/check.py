@@ -8,7 +8,7 @@ outDir with <name>/ parquet dirs + oracle_sql.json. For each query:
 register the sf tables as DuckDB views, run the oracle SQL, load the
 Spark result parquet, sort columns by name, sort rows, compare exactly.
 """
-import json, math, sys, glob
+import json, math, os, sys, glob
 
 import duckdb
 import pandas as pd
@@ -80,7 +80,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # Driver testdata is a single file per table; Spark-written
+        # (e.g. GenScale sf1) tables are directories of part files.
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_fail = 0
