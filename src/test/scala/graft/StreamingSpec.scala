@@ -11,16 +11,16 @@ import graft.streaming.{EventStreams, GraftEvent}
 class StreamingSpec extends SparkSpec {
 
   test("q70: streaming hourlyCounts over file source equals batch result") {
-    // events.parquet carries TIMESTAMP(NANOS): with nanosAsLong the
-    // batch schema types ts as long; stream with that schema and apply
-    // the same micros conversion Tables.events uses.
+    // events.parquet's ts physical type varies by testdata generation;
+    // stream with the batch schema and apply the same normalization
+    // Tables.events uses (see Tables.normalizeTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // FileStreamSource needs a directory; glob-filter to the events file
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("q70mem")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -37,7 +37,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("q70append")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -76,7 +76,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = EventStreams.sessionizeStream(stream, gapSeconds = 1800)
       .writeStream.format("memory").queryName("q71stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -162,7 +162,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = EventStreams.enrichedSegmentCounts(stream, tables.customer)
       .writeStream.format("memory").queryName("q73mem")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -179,7 +179,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def eventsStream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     // one source, filtered twice: a genuine stream-stream SELF-join
     val src = eventsStream()
     val q = EventStreams.attributeWithin(
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = EventStreams.lastTouchWithin(
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"),
