@@ -53,11 +53,18 @@ object Text {
   /** q31: quality scoring — length, punctuation ratio, stopword ratio,
     * combined into one bounded score (the pretraining-filter shape:
     * keep docs above a score threshold).
+    *
+    * The score is emitted UNROUNDED as the identical IEEE-double
+    * expression on both sides (§6(i): round(x, 4) hit a 5th-decimal
+    * half-tie at sf1 — 0.4932 vs 0.4933 — because DuckDB rounds
+    * x·10⁴ in floating point while Spark rounds the decimal form;
+    * §6(j): n_chars/500.0 is CAST to double in the oracle so DuckDB
+    * doesn't route the quotient through exact DECIMAL arithmetic).
     */
   val q31 = Q.of(
     "q31_quality_score",
     """SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
-      |  round(least(1.0, n_chars/500.0)*0.5 + (1.0-punct_ratio)*0.3 + least(1.0, stop_ratio*5.0)*0.2, 4) AS quality
+      |  least(1.0, CAST(n_chars AS DOUBLE)/500.0)*0.5 + (1.0-punct_ratio)*0.3 + least(1.0, stop_ratio*5.0)*0.2 AS quality
       |FROM (
       |  SELECT doc_id, n_chars,
       |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -75,10 +82,10 @@ object Text {
           nullif(length(col("text")).cast("long"), lit(0L))).as("punct_ratio"),
         (p.getField("en_hits").cast("double") /
           nullif(p.getField("n_ws_tokens"), lit(0L))).as("stop_ratio"))
-      .withColumn("quality", round(
-        least(lit(1.0), col("n_chars") / 500.0) * 0.5 +
+      .withColumn("quality",
+        least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.5 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
-          least(lit(1.0), col("stop_ratio") * 5.0) * 0.2, 4))
+          least(lit(1.0), col("stop_ratio") * 5.0) * 0.2)
       .drop("n_chars")
       .orderBy(col("doc_id"))
   }
@@ -268,6 +275,13 @@ object Text {
     * lowest-id survivor). The registered q38 runs with the stage off
     * so its oracle stays purely relational; TextSpec proves the staged
     * form drops exactly the non-survivor near-dup members on top.
+    *
+    * The quality GATE here deliberately keeps the round-to-4 form
+    * (mirrored in the oracle): the rounded threshold set is
+    * well-defined, the value never reaches the output raw (only the
+    * decimal-summed mean does), and exposure to the §6(i) tie class
+    * is boundary-only — unlike q31, whose per-doc output emits the
+    * unrounded identical-expression double.
     */
   private[graft] def curatedSurvivors(t: Tables, nearDupJaccard: Option[Double]): org.apache.spark.sql.DataFrame = {
     import graft.operators.{Dedup => D}
