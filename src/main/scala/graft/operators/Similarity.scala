@@ -26,6 +26,31 @@ import graft.functions.{vec, NearestCentroid}
   */
 object Similarity {
 
+  /** §5 auto-knob: bits-per-table sized so expected bucket occupancy
+    * stays ~`targetBucket` as the corpus grows — `2^bits ≈ n /
+    * targetBucket`, i.e. bits grows with log₂(n). With bits FIXED the
+    * within-bucket self-join is Σ bucket² ≈ n²/2^bits — quadratic with
+    * a constant small enough to hide at test SFs and explode one
+    * decade up (q44 measured 54× time for 10× vectors at the sf0.1→sf1
+    * jump under fixed 4 bits). Under the auto-knob the candidate
+    * volume is ≈ n·targetBucket — linear. The floor keeps small-corpus
+    * recall at the spec'd level; the cap bounds the key domain.
+    *
+    * Recall under growth: raising bits lowers per-table collision
+    * probability at FIXED table count, but non-uniformly — at the
+    * near-dup band the per-bit agreement is high (cos 0.9 → 0.856), so
+    * 16 tables hold recall ≈ 0.99 even at 9 bits, while distant pairs
+    * (cos ≤ 0.4 → per-bit 0.63) fall away. That is the production
+    * trade: the pairs a dedup pass must not miss stay found at every
+    * scale; moderate-similarity extras are best-effort. Hold recall at
+    * a LOW threshold too by growing `tables` (L) with bits.
+    */
+  def autoBitsPerTable(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** Adds `buckets`: array of `tables` bucket ids, each from
     * `bitsPerTable` signed random projections of `vCol` (double array),
     * via the native [[graft.functions.HyperplaneBuckets]] expression
@@ -78,10 +103,17 @@ object Similarity {
     * on the embedding tier, so a training pipeline can drop
     * semantic near-duplicates, not just report them (DedupSpec pins
     * survivor structure against the pair graph).
+    *
+    * `bitsPerTable < 0` (the default) auto-sizes the banding from the
+    * corpus count via [[autoBitsPerTable]] — one cheap count job
+    * (parquet row-group metadata for a plain scan), then linear
+    * candidate volume at any corpus size.
     */
   def dropNearDupVectors(vectors: DataFrame, idCol: String, vCol: String,
-      tables: Int = 16, bitsPerTable: Int = 4, minCosine: Double = 0.9): DataFrame = {
-    val pairs = lshNearDupPairs(vectors, idCol, vCol, tables, bitsPerTable, minCosine)
+      tables: Int = 16, bitsPerTable: Int = -1, minCosine: Double = 0.9): DataFrame = {
+    val bits =
+      if (bitsPerTable >= 0) bitsPerTable else autoBitsPerTable(vectors.count())
+    val pairs = lshNearDupPairs(vectors, idCol, vCol, tables, bits, minCosine)
     Components.keepSurvivors(vectors, idCol,
       Components.label(pairs, "vec_a", "vec_b"))
   }

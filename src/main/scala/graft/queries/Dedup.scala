@@ -99,10 +99,18 @@ object Dedup {
   }
 
   /** q44: embedding-cosine near-dup pairs via hyperplane LSH buckets
-    * (16 tables × 4 bits — at cos 0.4 the per-table collision prob is
-    * ~0.16, so 16 tables give ~0.94 expected recall) with exact cosine
-    * verify ≥ 0.4. Rows-only — approximate by design; DedupSpec
-    * measures recall vs brute force.
+    * with exact cosine verify ≥ 0.4. Rows-only — approximate by
+    * design; DedupSpec measures recall vs brute force.
+    *
+    * Banding is 16 tables × AUTO bits ([[Similarity.autoBitsPerTable]]
+    * — bits grows with log₂(n), §5's rule): at the ≤2000-vector test
+    * SFs this resolves to the original 4 bits (per-table collision
+    * ~0.16 at cos 0.4 → ~0.94 recall over 16 tables), while at the
+    * sf1 decade it grows to 9 bits, holding candidate volume LINEAR
+    * (fixed 4 bits measured 54× time for 10× vectors — Σ bucket² =
+    * n²/16). Near-dup-band pairs (cos ≥ 0.9, per-bit agreement 0.856)
+    * keep recall ≈ 0.99 at 9 bits; only distant-pair recall decays,
+    * the documented trade (grow `tables` to hold a low threshold too).
     */
   /** q45: near-dup cluster RESOLUTION — the step that actually shrinks
     * a corpus (every LSH surface above stops at pairs). jaccard ≥ 0.8
@@ -162,7 +170,10 @@ object Dedup {
 
   val q44 = Q.rowsOnly("q44_dedup_embedding") { t =>
     val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
-    Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 16, bitsPerTable = 4, minCosine = 0.4)
+    // one cheap count job (parquet metadata) sizes the banding for
+    // whatever corpus this runs against
+    val bits = Similarity.autoBitsPerTable(t.embeddings.count())
+    Similarity.lshNearDupPairs(e, "vec_id", "v", tables = 16, bitsPerTable = bits, minCosine = 0.4)
       .withColumn("cos", round(col("cos"), 4))
       .orderBy(col("vec_a"), col("vec_b"))
   }

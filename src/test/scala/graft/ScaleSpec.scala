@@ -60,6 +60,48 @@ class ScaleSpec extends SparkSpec {
       f"knobbed per-query volume $per2k%.1f not bounded vs $per1%.1f @ the smaller corpus")
   }
 
+  test("q44 auto bits-per-table bounds the self-join candidate volume as the corpus grows") {
+    import graft.operators.Similarity
+    import graft.functions.vec
+    // the knob itself: bits grows with log2(n), floored for small-corpus
+    // recall (spec SFs resolve to the original 4 bits), capped
+    assert(Similarity.autoBitsPerTable(500) == 4)
+    assert(Similarity.autoBitsPerTable(2000) == 5)
+    assert(Similarity.autoBitsPerTable(20000) == 9)
+    assert(Similarity.autoBitsPerTable(1L << 40) == 24)
+    // measured: distinct within-bucket pair candidates (the q44 shape —
+    // self-join, not per-query) per VECTOR, auto vs fixed banding
+    def perVec(dir: String, bits: Int): (Long, Double) = {
+      val e = Tables(spark, dir).embeddings
+        .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+      val banded = Similarity.explodeBuckets(
+        Similarity.withHyperplaneBuckets(e, "v", tables = 16, bitsPerTable = bits))
+        .select(col("vec_id"), col("tbl"), col("bucket"))
+      val c = banded.select(col("vec_id").as("a"), col("tbl"), col("bucket"))
+        .join(banded.select(col("vec_id").as("b"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+      val n = e.count()
+      (n, c.toDouble / n)
+    }
+    val (n1, p1) = perVec("/root/testdata/sf0.001",
+      Similarity.autoBitsPerTable(500))
+    val (n2, pFixed) = perVec("/root/testdata/sf0.1", 4)
+    val (_, pAuto) = perVec("/root/testdata/sf0.1",
+      Similarity.autoBitsPerTable(2000))
+    info(f"candidates/vector: $p1%.1f @ $n1 (auto) -> fixed-4-bits $pFixed%.1f " +
+      f"vs auto $pAuto%.1f @ $n2")
+    // fixed bits: per-vector volume ~scales with n (quadratic total);
+    // the auto knob must bite at the bigger corpus...
+    assert(pAuto <= 0.7 * pFixed,
+      f"auto banding did not reduce candidate volume: $pAuto%.1f vs $pFixed%.1f")
+    // ...and keep per-vector volume within the occupancy bound the knob
+    // targets (16 tables x targetBucket occupancy, before table overlap)
+    assert(pAuto <= 16.0 * 64,
+      f"per-vector candidates $pAuto%.1f exceed the banding occupancy bound")
+    spark.catalog.clearCache()
+  }
+
   test("Components rounds grow with component diameter, not pair volume") {
     import graft.operators.Components
     import spark.implicits._
