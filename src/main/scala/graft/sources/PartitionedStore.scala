@@ -33,6 +33,42 @@ object PartitionedStore {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed-table layout — the co-located-join half of the §5 rules
+    * (`writePartitioned` handles directory pruning; this handles
+    * exchange elimination). The frame is hash-bucketed on `keyCols`
+    * into `buckets` files per partition and registered in the session
+    * catalog (bucket metadata lives in the CATALOG, not the parquet
+    * files — a plain `.parquet(path)` write cannot carry it), with
+    * each bucket sorted on the keys so sort-merge joins skip their
+    * sorts too.
+    *
+    * Two bucketed tables with the same bucket count joined or grouped
+    * on the bucket key plan with ZERO shuffle exchanges: at 100 TB a
+    * fact⋈fact equi-join is otherwise two full-data exchanges, and a
+    * nightly-refreshed fact bucketed at write time amortizes that
+    * shuffle across every downstream query forever (SourcesSpec pins
+    * the exchange-free join and aggregate plans). Bucket count is a
+    * stable layout contract — pick it for the TARGET scale (total
+    * size / healthy task size), not the current one, because joins
+    * only co-locate across tables with compatible bucket counts.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keyCols: Seq[String]): Unit =
+    df.repartition(buckets, keyCols.map(col): _*)
+      .write
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Catalog read of a bucketed table; the relation carries the bucket
+    * spec, so Catalyst plans joins/aggregates on the bucket keys
+    * without an exchange.
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Idempotent per-microbatch write — the `foreachBatch` target of
     * [[graft.streaming.EventStreams.sinkPartitioned]]. Every batch's
     * rows land under their own `graft_batch_id=<id>/...` partition

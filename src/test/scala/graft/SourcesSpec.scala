@@ -111,6 +111,48 @@ class SourcesSpec extends SparkSpec {
       Seq("definitely not json"))
   }
 
+  test("bucketed tables join and aggregate on the bucket key with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val abcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val oldB = spark.conf.getOption(bcast)
+    val oldA = spark.conf.getOption(abcast)
+    // force a non-broadcast join so the plan exercises the bucket layout
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(abcast, "-1")
+    try {
+      val orders = tables.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val items = tables.lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      PartitionedStore.writeBucketed(orders, "graft_b_orders", 4, Seq("o_orderkey"))
+      PartitionedStore.writeBucketed(items, "graft_b_items", 4, Seq("o_orderkey"))
+      val a = PartitionedStore.readBucketed(spark, "graft_b_orders")
+      val b = PartitionedStore.readBucketed(spark, "graft_b_items")
+      val joined = a.join(b, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("qty"), first("o_totalprice").as("price"))
+      val got = joined.count()
+      val expect = orders.join(items, "o_orderkey").select("o_orderkey").distinct().count()
+      assert(got == expect, "bucketed join changed the result")
+      // the whole join + aggregate rides the bucket layout: no exchange
+      // anywhere (count() first so AQE has finalized the plan)
+      val ex = physicalNodes(joined).collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty,
+        s"bucketed join/aggregate planned ${ex.size} exchange(s):\n${planOf(joined)}")
+      // layout contract: one file per bucket (repartition-before-write
+      // aligns task hash with bucket hash), so bucket sort survives
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_b_orders")
+        .filter(col("col_name") === "Location").select("data_type").head.getString(0)
+      val files = new java.io.File(new java.net.URI(loc)).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket, found $files")
+    } finally {
+      oldB.fold(spark.conf.unset(bcast))(spark.conf.set(bcast, _))
+      oldA.fold(spark.conf.unset(abcast))(spark.conf.set(abcast, _))
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_items")
+    }
+  }
+
   test("csv ingest quarantines malformed rows instead of dropping or failing") {
     val cdir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
     val rows = Seq("1,alpha,10", "2,beta,20", "3,gamma,not_a_number", "4,delta")
