@@ -55,7 +55,12 @@ object Bench {
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
-      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      // carry an explicitly-set parent heap into the child — a caller
+      // that launched with -Xmx16g but without the JIT flag must not be
+      // silently downgraded to the env default
+      val parentXmx = jvmArgs.filter(_.startsWith("-Xmx"))
+        .lastOption.map(_.stripPrefix("-Xmx"))
+      val mem = parentXmx.getOrElse(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
         "java.base/java.lang.reflect", "java.base/java.io",

@@ -103,10 +103,11 @@ object Dedup {
     * design; DedupSpec measures recall vs brute force.
     *
     * Banding is 16 tables × AUTO bits ([[Similarity.autoBitsPerTable]]
-    * — bits grows with log₂(n), §5's rule): at the ≤2000-vector test
-    * SFs this resolves to the original 4 bits (per-table collision
-    * ~0.16 at cos 0.4 → ~0.94 recall over 16 tables), while at the
-    * sf1 decade it grows to 9 bits, holding candidate volume LINEAR
+    * — bits grows with log₂(n), §5's rule): the ≤500-vector spec SFs
+    * resolve to the original 4 bits (per-table collision ~0.16 at
+    * cos 0.4 → ~0.94 recall over 16 tables, the level DedupSpec
+    * floors), sf0.1's 2000 vectors get 5 bits (~0.88), and the
+    * sf1 decade grows to 9 bits, holding candidate volume LINEAR
     * (fixed 4 bits measured 54× time for 10× vectors — Σ bucket² =
     * n²/16). Near-dup-band pairs (cos ≥ 0.9, per-bit agreement 0.856)
     * keep recall ≈ 0.99 at 9 bits; only distant-pair recall decays,

@@ -100,9 +100,15 @@ object GenScale {
       .withColumn("l_suppkey", off("l_suppkey", 1000L))
       .drop("graft_copy"), "lineitem", 16)
 
+    // user_id is a FOREIGN KEY into customer (c_custkey), not its own
+    // key domain: sf0.1 users span 0..1499 inside c_custkey 0..14999.
+    // Offsetting by the CUSTOMER stride keeps copy k's events pointing
+    // at copy k's customers ("first 1500 customers of each copy are the
+    // event users" — the sf0.1 shape, replicated); the user-domain
+    // stride (1500) would aim every copy's events at copy-0 customers.
     write(replicate(t.events)
       .withColumn("event_id", off("event_id", 100000L))
-      .withColumn("user_id", off("user_id", 1500L))
+      .withColumn("user_id", off("user_id", 15000L))
       .drop("graft_copy"), "events", 8)
 
     // ---- documents: content-keyed token perturbation ----------------
