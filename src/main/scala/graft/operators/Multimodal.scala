@@ -121,27 +121,48 @@ object Multimodal {
   implicit val resizedImgEnc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
   implicit val decodedAudEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
 
+  /** Shared scaffold for every REAL batched codec stage: slim
+    * (id, payload) projection, typed iterator, per-TASK setup via `mk`
+    * (a codec context / MessageDigest — paid once per partition), one
+    * output row per input row via `f`. Each per-format entry point is
+    * reduced to its row contract (review r7: five decode wrappers and
+    * three resize twins had copied this scaffold verbatim — a contract
+    * change now edits one place). Preserves input partitioning; no
+    * shuffle.
+    */
+  private def payloadBatched[S, T: Encoder](df: DataFrame, idCol: String)(
+      mk: () => S)(f: (S, Long, Array[Byte]) => T): Dataset[T] = {
+    val slim = df.select(col(idCol).cast("long"), col("payload"))
+    import slim.sparkSession.implicits._
+    slim.as[(Long, Array[Byte])].mapPartitions { it =>
+      val state = mk()
+      it.map { case (id, payload) => f(state, id, payload) }
+    }
+  }
+
   /** REAL batched audio decode for 16-bit PCM WAV payloads
     * ([[WavCodec]]) — the audio twin of [[decodePpmBatched]]: header
     * metadata and PCM features per row, `ok = false` for anything the
     * total decoder rejects, input partitioning preserved, no shuffle.
     */
-  def decodeWavBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] = {
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, payload) =>
-        WavCodec.decode(payload) match {
-          case Some(w) =>
-            val loudness = WavCodec.rms(w)
-            DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
-              w.nFrames.toLong, w.durationSec,
-              if (loudness.isEmpty) 0.0 else loudness.max, byteLen(payload))
-          case None =>
-            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, byteLen(payload))
-        }
-      }
+  def decodeWavBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      audioRow(id, payload, WavCodec.decode(payload))
     }
+
+  /** The shared audio row contract: header metadata + PCM features for
+    * a decoded [[WavCodec.Wav]], an `ok = false` carry-through row
+    * otherwise.
+    */
+  private def audioRow(id: Long, payload: Array[Byte],
+      decoded: Option[WavCodec.Wav]): DecodedAudio = decoded match {
+    case Some(w) =>
+      val loudness = WavCodec.rms(w)
+      DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
+        w.nFrames.toLong, w.durationSec,
+        if (loudness.isEmpty) 0.0 else loudness.max, byteLen(payload))
+    case None =>
+      DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, byteLen(payload))
   }
 
   /** REAL batched image decode for PPM payloads ([[PpmCodec]]): per
@@ -152,45 +173,27 @@ object Multimodal {
     * decode stage must not die on one corrupt payload out of
     * billions). Preserves input partitioning; no shuffle.
     */
-  def decodePpmBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] = {
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, payload) =>
-        PpmCodec.decode(payload) match {
-          case Some(img) =>
-            val (r, g, b) = PpmCodec.channelMeans(img)
-            DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
-              r, g, b, byteLen(payload))
-          case None =>
-            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
-        }
+  def decodePpmBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      PpmCodec.decode(payload) match {
+        case Some(img) =>
+          val (r, g, b) = PpmCodec.channelMeans(img)
+          DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
+            r, g, b, byteLen(payload))
+        case None =>
+          DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
       }
     }
-  }
 
   /** REAL batched audio decode for ANY JDK-supported container —
     * AIFF / AU / WAV via [[AudioContainers]] (javax.sound providers):
     * the container-agnostic generalization of [[decodeWavBatched]],
     * same row contract, partitioning preserved, no shuffle.
     */
-  def decodeAudioBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] = {
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, payload) =>
-        AudioContainers.decode(payload) match {
-          case Some(w) =>
-            val loudness = WavCodec.rms(w)
-            DecodedAudio(id, ok = true, w.sampleRate.toLong, w.channels.toLong,
-              w.nFrames.toLong, w.durationSec,
-              if (loudness.isEmpty) 0.0 else loudness.max, byteLen(payload))
-          case None =>
-            DecodedAudio(id, ok = false, 0L, 0L, 0L, 0.0, 0.0, byteLen(payload))
-        }
-      }
+  def decodeAudioBatched(df: DataFrame, idCol: String): Dataset[DecodedAudio] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      audioRow(id, payload, AudioContainers.decode(payload))
     }
-  }
 
   /** REAL batched image decode for JPEG payloads ([[JpegCodec]] over
     * the JDK's imageio plugin) — same contract as
@@ -200,25 +203,27 @@ object Multimodal {
     * preserved, no shuffle. Gray means fan out to (r, g, b) like the
     * PNG path.
     */
-  def decodeJpegBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] = {
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, payload) =>
-        JpegCodec.decode(payload) match {
-          case Some(img) =>
-            val m = PngCodec.channelMeans(img)
-            val (r, g, b) = img.channels match {
-              case 1 => (m(0), m(0), m(0))
-              case _ => (m(0), m(1), m(2))
-            }
-            DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
-              r, g, b, byteLen(payload))
-          case None =>
-            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
-        }
-      }
+  def decodeJpegBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      rasterRow(id, payload, JpegCodec.decode(payload))
     }
+
+  /** The shared raster row contract ([[PngCodec.Png]] — JPEG decodes
+    * into the same type): header dims + channel means, gray (+alpha)
+    * fanned out to (r, g, b); `ok = false` carry-through otherwise.
+    */
+  private def rasterRow(id: Long, payload: Array[Byte],
+      decoded: Option[PngCodec.Png]): DecodedImage = decoded match {
+    case Some(img) =>
+      val m = PngCodec.channelMeans(img)
+      val (r, g, b) = img.channels match {
+        case 1 | 2 => (m(0), m(0), m(0)) // gray (+alpha dropped)
+        case _     => (m(0), m(1), m(2)) // rgb / rgba
+      }
+      DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
+        r, g, b, byteLen(payload))
+    case None =>
+      DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
   }
 
   /** REAL batched resize for JPEG payloads: decode → nearest-neighbor
@@ -231,21 +236,30 @@ object Multimodal {
     * content address, not a cross-engine oracle.)
     */
   def resizeJpegBatched(df: DataFrame, idCol: String,
-      outW: Int, outH: Int): Dataset[ResizedImage] = {
+      outW: Int, outH: Int): Dataset[ResizedImage] =
+    resizeRasterBatched(df, idCol, outW, outH)(
+      JpegCodec.decode, img => JpegCodec.encode(PngCodec.resizeNearest(img, outW, outH)))
+
+  /** Shared raster resize scaffold: decode → per-row pixel-buffer gate
+    * (checking here instead of letting resizeNearest's require throw
+    * keeps a mixed gray/RGBA corpus from killing the task on the first
+    * wide row — `ok = false`, like any other unprocessable payload) →
+    * resample + re-encode via `enc` → md5 of the re-encoded bytes as
+    * the output content address.
+    */
+  private def resizeRasterBatched(df: DataFrame, idCol: String,
+      outW: Int, outH: Int)(
+      dec: Array[Byte] => Option[PngCodec.Png],
+      enc: PngCodec.Png => Array[Byte]): Dataset[ResizedImage] = {
     require(outW > 0 && outH > 0)
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val hex = md5Hex()
-      it.map { case (id, payload) =>
-        JpegCodec.decode(payload) match {
-          case Some(img) if outW.toLong * outH * img.channels <= PngCodec.MaxPixelBytes =>
-            val out = JpegCodec.encode(PngCodec.resizeNearest(img, outW, outH))
-            ResizedImage(id, ok = true, outW.toLong, outH.toLong,
-              byteLen(payload), out.length.toLong, hex(out))
-          case _ =>
-            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
-        }
+    payloadBatched(df, idCol)(md5Hex _) { (hex, id, payload) =>
+      dec(payload) match {
+        case Some(img) if outW.toLong * outH * img.channels <= PngCodec.MaxPixelBytes =>
+          val out = enc(img)
+          ResizedImage(id, ok = true, outW.toLong, outH.toLong,
+            byteLen(payload), out.length.toLong, hex(out))
+        case _ =>
+          ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
       }
     }
   }
@@ -258,26 +272,10 @@ object Multimodal {
     * payloads yield `ok = false` rows; input partitioning preserved,
     * no shuffle.
     */
-  def decodePngBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] = {
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, payload) =>
-        PngCodec.decode(payload) match {
-          case Some(img) =>
-            val m = PngCodec.channelMeans(img)
-            val (r, g, b) = img.channels match {
-              case 1 | 2 => (m(0), m(0), m(0)) // gray (+alpha dropped)
-              case _     => (m(0), m(1), m(2)) // rgb / rgba
-            }
-            DecodedImage(id, ok = true, img.width.toLong, img.height.toLong,
-              r, g, b, byteLen(payload))
-          case None =>
-            DecodedImage(id, ok = false, 0L, 0L, 0.0, 0.0, 0.0, byteLen(payload))
-        }
-      }
+  def decodePngBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      rasterRow(id, payload, PngCodec.decode(payload))
     }
-  }
 
   /** REAL batched resize for PNG payloads: decode → nearest-neighbor
     * resample → canonical re-encode (filter-0 rows, single IDAT), md5
@@ -286,29 +284,9 @@ object Multimodal {
     * [[decodePngBatched]].
     */
   def resizePngBatched(df: DataFrame, idCol: String,
-      outW: Int, outH: Int): Dataset[ResizedImage] = {
-    require(outW > 0 && outH > 0)
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val hex = md5Hex()
-      it.map { case (id, payload) =>
-        PngCodec.decode(payload) match {
-          // the pixel-buffer gate depends on the PER-ROW channel
-          // count: checking here (instead of letting resizeNearest's
-          // require throw) keeps a mixed gray/RGBA corpus from killing
-          // the task on the first wide row — ok=false, like any other
-          // unprocessable payload
-          case Some(img) if outW.toLong * outH * img.channels <= PngCodec.MaxPixelBytes =>
-            val out = PngCodec.encode(PngCodec.resizeNearest(img, outW, outH))
-            ResizedImage(id, ok = true, outW.toLong, outH.toLong,
-              byteLen(payload), out.length.toLong, hex(out))
-          case _ =>
-            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
-        }
-      }
-    }
-  }
+      outW: Int, outH: Int): Dataset[ResizedImage] =
+    resizeRasterBatched(df, idCol, outW, outH)(
+      PngCodec.decode, img => PngCodec.encode(PngCodec.resizeNearest(img, outW, outH)))
 
   /** REAL batched resize for PPM payloads: decode → nearest-neighbor
     * resample to (outW, outH) → canonical re-encode, md5 of the
@@ -319,21 +297,18 @@ object Multimodal {
   def resizePpmBatched(df: DataFrame, idCol: String,
       outW: Int, outH: Int): Dataset[ResizedImage] = {
     require(outW > 0 && outH > 0)
-    val slim = df.select(col(idCol).cast("long"), col("payload"))
-    import slim.sparkSession.implicits._
-    slim.as[(Long, Array[Byte])].mapPartitions { it =>
-      val hex = md5Hex()
-      it.map { case (id, payload) =>
-        PpmCodec.decode(payload) match {
-          // same non-throwing gate as the PNG twin (PPM is always 3
-          // channels, but a hostile target must still reject per-row)
-          case Some(img) if outW.toLong * outH * 3 <= PngCodec.MaxPixelBytes =>
-            val out = PpmCodec.encode(PpmCodec.resizeNearest(img, outW, outH))
-            ResizedImage(id, ok = true, outW.toLong, outH.toLong,
-              byteLen(payload), out.length.toLong, hex(out))
-          case _ =>
-            ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
-        }
+    // [[PpmCodec.Ppm]] is its own raster type, so this rides the shared
+    // payload scaffold rather than [[resizeRasterBatched]]; same
+    // non-throwing pixel-buffer gate as the PNG twin (PPM is always 3
+    // channels, but a hostile target must still reject per-row)
+    payloadBatched(df, idCol)(md5Hex _) { (hex, id, payload) =>
+      PpmCodec.decode(payload) match {
+        case Some(img) if outW.toLong * outH * 3 <= PngCodec.MaxPixelBytes =>
+          val out = PpmCodec.encode(PpmCodec.resizeNearest(img, outW, outH))
+          ResizedImage(id, ok = true, outW.toLong, outH.toLong,
+            byteLen(payload), out.length.toLong, hex(out))
+        case _ =>
+          ResizedImage(id, ok = false, 0L, 0L, byteLen(payload), 0L, null)
       }
     }
   }
