@@ -88,9 +88,14 @@ object Dedup {
     * exactly; P(collide | jaccard=j) = 1-(1-j^r)^b, so b=16/r=2 keeps
     * recall ≈ 1 down to j≈0.8 (q43's verify threshold).
     * Returns (doc_a, doc_b, est_jaccard) where est_jaccard is the
-    * signature agreement fraction — computed via two broadcast joins
-    * against the cached slim signature table, so the banded join only
-    * shuffles (band, hash, id) triples.
+    * signature agreement fraction — computed via two PLAIN equi-joins
+    * against the cached slim signature table (AQE broadcasts only when
+    * genuinely small: the table is corpus-sized, ~520 B/doc, so a
+    * forced broadcast would OOM at 1 B docs), and the banded join only
+    * shuffles (band, hash, id) triples — signatures never ride the
+    * bucket exchange. Mirrors [[Similarity.lshNearDupPairs]]'s
+    * join-back shape; pinned under disabled auto-broadcast in
+    * DedupSpec.
     *
     * `minBandMatches` prunes the candidate set to pairs colliding in at
     * least that many bands: at j ≥ 0.8 with 16×2 banding a pair
@@ -117,8 +122,8 @@ object Dedup {
       .filter(col("graft_n_bands") >= minBandMatches)
       .select("doc_a", "doc_b")
     pairs
-      .join(broadcast(slim.select(col("graft_id").as("doc_a"), col("minhash").as("mh_a"))), "doc_a")
-      .join(broadcast(slim.select(col("graft_id").as("doc_b"), col("minhash").as("mh_b"))), "doc_b")
+      .join(slim.select(col("graft_id").as("doc_a"), col("minhash").as("mh_a")), "doc_a")
+      .join(slim.select(col("graft_id").as("doc_b"), col("minhash").as("mh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.sketch.sigAgreement(col("mh_a"), col("mh_b")).as("est_jaccard"))
   }

@@ -165,13 +165,6 @@ class AnnSpec extends SparkSpec {
 
   import org.apache.spark.sql.types.ArrayType
 
-  /** Runs `f` with a conf override, restoring the old value after. */
-  private def withConf[T](k: String, v: String)(f: => T): T = {
-    val old = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try f finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-  }
-
   /** Exchanges keyed on LSH bucket columns must ship ids only — a full
     * vector through the banded exchange is the 100-TB scale killer.
     * Auto-broadcast is disabled so the sf0.001 plan takes the same

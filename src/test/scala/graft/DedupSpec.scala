@@ -155,4 +155,34 @@ class DedupSpec extends SparkSpec {
     val recall = got.size.toDouble / exact.size
     assert(recall >= 0.7, s"q44 recall $recall < 0.7 (${got.size}/${exact.size})")
   }
+
+  // ---- structural pins (VERDICT r7 #1): the signature table is
+  // corpus-sized (~520 B/doc), so the join-back after candidate
+  // generation must be a PLAIN equi-join — a forced broadcast() would
+  // ship the whole corpus's signatures to every executor (~500 GB at
+  // 1 B docs). With auto-broadcast disabled, any BroadcastExchange in
+  // the plan can only come from an explicit hint.
+
+  test("q41: no forced broadcast — signature join-back stays a plain join under disabled auto-broadcast") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val b = broadcasts(run("q41_dedup_minhash"))
+      assert(b.isEmpty,
+        s"q41 plan forces ${b.size} broadcast exchange(s) — the corpus-sized " +
+          s"signature table must join back via plain equi-joins (AQE decides):\n" +
+          b.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
+
+  test("q41: banded exchange ships (band, hash, id) only — signatures never ride the bucket shuffle") {
+    import org.apache.spark.sql.types.ArrayType
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val banded = shuffles(run("q41_dedup_minhash"))
+        .filter(_.outputPartitioning.toString.contains("band"))
+      assert(banded.nonEmpty, "q41: no band-keyed exchange found (plan changed?)")
+      for (s <- banded; a <- s.output)
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"q41: banded exchange ships array column ${a.name} — " +
+            "signatures must join back after pair dedup, not ride the band shuffle")
+    }
+  }
 }

@@ -69,6 +69,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     walk(root)
   }
 
+  /** Runs `f` with a conf override, restoring the old value after. */
+  def withConf[T](k: String, v: String)(f: => T): T = {
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  /** The broadcast exchanges of the plan — under
+    * `spark.sql.autoBroadcastJoinThreshold=-1` any survivor comes from
+    * an explicit `broadcast()` hint, so "no forced broadcast"
+    * assertions collect these.
+    */
+  def broadcasts(df: DataFrame): Seq[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec] =
+    physicalNodes(df).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+
   /** The shuffle exchanges of the plan, as (partitioning-description,
     * output-attribute) pairs ready for "this exchange ships ids only"
     * assertions.
