@@ -55,12 +55,15 @@ object Bench {
     try {
       val javaBin = java.nio.file.Paths.get(
         sys.props("java.home"), "bin", "java").toString
-      // carry an explicitly-set parent heap into the child — a caller
-      // that launched with -Xmx16g but without the JIT flag must not be
-      // silently downgraded to the env default
+      // heap precedence (ADVICE r7): an EXPLICIT SPARK_DRIVER_MEM wins
+      // over the inherited parent -Xmx — launchers that always set an
+      // -Xmx (sbt's default 1g) must not silently downgrade a caller
+      // who exported SPARK_DRIVER_MEM=16g; the parent heap is still
+      // carried when the env var is absent (a caller that launched
+      // with -Xmx16g but without the JIT flag keeps its heap).
       val parentXmx = jvmArgs.filter(_.startsWith("-Xmx"))
         .lastOption.map(_.stripPrefix("-Xmx"))
-      val mem = parentXmx.getOrElse(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      val mem = sys.env.get("SPARK_DRIVER_MEM").orElse(parentXmx).getOrElse("8g")
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
         "java.base/java.lang.reflect", "java.base/java.io",
@@ -178,15 +181,22 @@ object Bench {
       s""""pinned_now":${flagsPinned(jvmArgs)},""" +
       s""""child":${sys.env.contains("SPARK_GRAFT_BENCH_CHILD")}}"""
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"canary":$canary,"canary_drift":${f3(drift)},"jvm":$jvm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"canary":$canary,"canary_drift":${f3(drift)},"jvm":$jvm,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     println(json)
     // Full artifact on disk too — the stdout line is subject to the
-    // driver's capture limits; this file is not.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+    // driver's capture limits; this file is not. BENCH_FULL.json is
+    // the latest-run copy; every run ALSO appends to
+    // BENCH_HISTORY.jsonl so a later invocation cannot clobber the
+    // round's clean-run evidence (VERDICT r7 #3 — the noisy
+    // end-of-round run overwrote the certifiable one).
+    try {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      Files.write(Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
+        (json + "\n").getBytes("UTF-8"), O.CREATE, O.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench artifacts: $e") }
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
