@@ -32,7 +32,8 @@ object Registry {
       graft.queries.Dedup.all ++
       graft.queries.Ann.all ++
       graft.queries.Multimodal.all ++
-      graft.queries.Streaming.all
+      graft.queries.Streaming.all ++
+      graft.queries.Bucketed.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

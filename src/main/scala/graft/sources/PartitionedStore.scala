@@ -53,7 +53,20 @@ object PartitionedStore {
     * only co-locate across tables with compatible bucket counts.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keyCols: Seq[String]): Unit =
+      keyCols: Seq[String]): Unit = {
+    // A managed table's LOCATION outlives the JVM while the in-memory
+    // catalog entry dies with it; a leftover warehouse dir from a
+    // previous session then fails the create with
+    // LOCATION_ALREADY_EXISTS. If the catalog doesn't know the table,
+    // the dir is an orphan — remove it. (When the table IS registered,
+    // mode("overwrite") handles replacement normally.)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.repartition(buckets, keyCols.map(col): _*)
       .write
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
@@ -61,6 +74,7 @@ object PartitionedStore {
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Catalog read of a bucketed table; the relation carries the bucket
     * spec, so Catalyst plans joins/aggregates on the bucket keys

@@ -142,9 +142,14 @@ class SourcesSpec extends SparkSpec {
       // aligns task hash with bucket hash), so bucket sort survives
       val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_b_orders")
         .filter(col("col_name") === "Location").select("data_type").head.getString(0)
+      // <= rather than ==: an empty bucket writes no file, so the
+      // exact count is sensitive to which keys the driver's testdata
+      // regeneration hashes into each bucket (ADVICE r7). The layout
+      // claim — at MOST one file per bucket, never task-count shards —
+      // is what repartition-before-write guarantees.
       val files = new java.io.File(new java.net.URI(loc)).listFiles()
         .count(_.getName.endsWith(".parquet"))
-      assert(files == 4, s"expected one file per bucket, found $files")
+      assert(files <= 4, s"expected at most one file per bucket, found $files")
     } finally {
       oldB.fold(spark.conf.unset(bcast))(spark.conf.set(bcast, _))
       oldA.fold(spark.conf.unset(abcast))(spark.conf.set(abcast, _))
