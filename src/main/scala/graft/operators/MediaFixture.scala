@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One synthesized media row: a REAL encoded payload whose decoded
+  * features are pure arithmetic in `doc_id` — so a DuckDB oracle can
+  * predict them without decoding anything.
+  */
+final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+/** Deterministic REAL-media synthesis (VERDICT r7 "next" #5).
+  *
+  * The driver testdata carries no real image/audio bytes, so the real
+  * codecs ([[PngCodec]]/[[JpegCodec]]/[[WavCodec]]) were spec-covered
+  * but absent from the hard correctness artifact. This fixture closes
+  * the loop: each document row is assigned a format by `doc_id % 3`
+  * and a payload ENCODED BY THE JDK (ImageIO for png/jpeg,
+  * javax.sound for wav — the independent producer), with constant
+  * pixel color / constant PCM amplitude derived from `doc_id`. The
+  * scratch-built decoders then run inside the oracle gate: width,
+  * height, channel means (constant image ⇒ mean = the exact color)
+  * and RMS (constant amplitude 512·k ⇒ exactly k/64, no rounding at
+  * the decimal cast) are all closed-form in `doc_id`, so the DuckDB
+  * side recomputes the expected rollup from `documents` alone.
+  *
+  * Encode runs per-partition with no shuffle (the same batched shape
+  * as the decode paths); payload bytes exist only inside the task
+  * that immediately decodes them.
+  */
+object MediaFixture {
+
+  /** (doc_id, format, payload) with format ∈ png|jpeg|wav by
+    * `doc_id % 3`. Raster dims: (1 + id%13) × (1 + id%7); color
+    * (id·31 % 256, id·17 % 256, id·7 % 256). Audio: mono PCM16,
+    * rate 8000 + (id%5)·2000, 100 + id%50 frames, amplitude
+    * 512·(1 + id%60).
+    */
+  def synthesize(docs: DataFrame, idCol: String): DataFrame = {
+    val slim = docs.select(col(idCol).cast("long"))
+    import slim.sparkSession.implicits._
+    slim.as[Long].mapPartitions(_.map(encodeRow)).toDF()
+  }
+
+  private def encodeRow(id: Long): MediaRow = (id % 3) match {
+    case 0 => MediaRow(id, "png", encodeImage(id, "png"))
+    case 1 => MediaRow(id, "jpeg", encodeImage(id, "jpeg"))
+    case _ => MediaRow(id, "wav", encodeWav(id))
+  }
+
+  private def encodeImage(id: Long, fmt: String): Array[Byte] = {
+    val w = (1 + id % 13).toInt
+    val h = (1 + id % 7).toInt
+    val r = ((id * 31) % 256).toInt
+    val g = ((id * 17) % 256).toInt
+    val b = ((id * 7) % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 5) * 2000).toInt
+    val frames = (100 + id % 50).toInt
+    // amplitude is a multiple of 512 so rms = amp/32768 = k/64 — exact
+    // in binary AND at the 6-decimal cast (k·15625 micro-units), so
+    // the decimal-routed sum is tie-free on both engines
+    val amp = (512 * (1 + id % 60)).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      data(2 * i) = (amp & 0xff).toByte
+      data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+}
