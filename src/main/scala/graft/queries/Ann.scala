@@ -227,5 +227,63 @@ object Ann {
     rankTopK(scored, 10)
   }
 
-  def all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** The IVF-probed + int8-coarse + exact-rerank tail — shared by q83
+    * and AnnSpec's recall comparison. Carries the int8 twin on the
+    * same row as the assignment vector so the candidate tier needs no
+    * extra join.
+    */
+  private[graft] def ivfRerankTopK(e: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.quant
+    val assigned8 = Similarity.assignToCentroids(
+      e.withColumn("qv8", quant.quantizeI8(col("v"))),
+      centroids, "vec_id", "v", "cid", "cv")
+      .select(col("vec_id"), col("qv8"), col("cell"))
+    val probes = TopK.perGroup(
+      queriesOf(e).crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("cid"),
+          vec.cosim(col("qv"), col("cv")).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
+      .select(col("query_id"), col("cid").as("cell"))
+    val qs8 = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), quant.quantizeI8(col("v")).as("qq8"))
+    val coarse = TopK.perGroup(
+      broadcast(probes.join(qs8, "query_id")).join(assigned8, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          quant.cosimI8(col("qq8"), col("qv8")).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("vec_id")), k = 30, rankCol = "crn")
+      .select(col("query_id"), col("vec_id"))
+    val scored = coarse
+      .join(e, "vec_id")
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
+    rankTopK(scored, 10)
+  }
+
+  /** q83: the COMPOSED production retrieval shape (VERDICT r7 "next"
+    * #6) — q52's trained IVF cells gate WHICH vectors are touched,
+    * q53's int8 tier sets HOW CHEAPLY the touched ones are scored, and
+    * q54's exact re-rank restores double precision for the 30
+    * survivors per query. q54 alone still scans the whole corpus in
+    * its coarse pass (O(n) per query, ~15× at the sf1 decade like the
+    * other exact tiers); here the coarse pass reads only the ~5
+    * probed cells (cells grow ∝ n/25, so candidates-per-query stays
+    * ~flat as the corpus grows — pinned in ScaleSpec) and scores them
+    * in int8. Shuffle shape: cell assignment is the zero-shuffle
+    * native argmax; the (probe × query-int8) frame broadcasts onto
+    * the assigned corpus, so the corpus never shuffles before the
+    * top-30 window, whose exchange ships (query_id, vec_id, score)
+    * only; the exact tail touches 30 rows/query. Rows-only; AnnSpec
+    * pins recall vs the q52 ceiling.
+    */
+  val q83 = Q.rowsOnly("q83_ann_ivf_rerank") { t =>
+    val e = vectors(t)
+    val centroids = Similarity.trainCentroids(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
+    ivfRerankTopK(e, centroids)
+  }
+
+  def all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q83)
 }

@@ -155,6 +155,20 @@ class AnnSpec extends SparkSpec {
     assert(r54 >= 0.9, f"q54 recall $r54%.3f below floor")
   }
 
+  test("q83 IVF+int8 coarse + exact re-rank: recall tracks the probed-cell ceiling (q52)") {
+    // q83's candidate set is q52's probed cells, so q52 is its recall
+    // ceiling; the int8 coarse top-30 inside the cells can only lose
+    // ordering noise, which the exact re-rank mostly recovers (the q54
+    // result). Uniform-random vectors are the hostile case — floors
+    // are calibrated to that, like q51/q52's.
+    val r52 = recallAt10(topk("q52_centroid_ivf"))
+    val r83 = recallAt10(topk("q83_ann_ivf_rerank"))
+    info(f"q52 recall@10 = $r52%.3f, q83 recall@10 = $r83%.3f")
+    assert(r83 >= r52 - 0.05,
+      f"q83 recall $r83%.3f fell more than 0.05 below its q52 ceiling $r52%.3f")
+    assert(r83 >= 0.3, f"q83 recall $r83%.3f below floor")
+  }
+
   test("q50/q51/q52/q53 rank paths all get partial WindowGroupLimit") {
     for (name <- Seq("q50_ann_bruteforce", "q51_ann_lsh", "q52_centroid_ivf", "q53_ann_quantized"))
       assert(planOf(run(name)).contains("WindowGroupLimit"),
@@ -189,8 +203,8 @@ class AnnSpec extends SparkSpec {
     assertBucketExchangesIdOnly("q44_dedup_embedding")
   }
 
-  test("q51/q52: top-k window exchange carries (query_id, vec_id, cos) only") {
-    for (name <- Seq("q51_ann_lsh", "q52_centroid_ivf")) {
+  test("q51/q52/q83: top-k window exchange carries (query_id, vec_id, cos) only") {
+    for (name <- Seq("q51_ann_lsh", "q52_centroid_ivf", "q83_ann_ivf_rerank")) {
       val windowEx = shuffles(run(name))
         .filter(_.outputPartitioning.toString.contains("query_id"))
       for (s <- windowEx; a <- s.output)

@@ -60,6 +60,45 @@ class ScaleSpec extends SparkSpec {
       f"knobbed per-query volume $per2k%.1f not bounded vs $per1%.1f @ the smaller corpus")
   }
 
+  test("q83 IVF probe: candidates-per-query stays ~flat as the corpus grows (cells grow with n)") {
+    import graft.operators.{Similarity, TopK}
+    import graft.functions.vec
+    // the q83 coarse tier reads only the 5 probed cells; with the
+    // centroid count growing ∝ n/25, cell population stays ~constant,
+    // so the per-query candidate volume must NOT track the corpus —
+    // this is what makes the composed shape sub-linear where q54's
+    // full int8 scan is O(n) per query (untrained seeds here: the
+    // structural claim is about cell COUNT, not Lloyd quality)
+    def cands(dir: String): (Long, Long, Long) = {
+      val t = Tables(spark, dir)
+      val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+      val seeds = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = Similarity.assignToCentroids(e, seeds, "vec_id", "v", "cid", "cv")
+        .select(col("vec_id"), col("cell"))
+      val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val probes = TopK.perGroup(
+        qs.crossJoin(broadcast(seeds))
+          .select(col("query_id"), col("cid"),
+            vec.cosim(col("qv"), col("cv")).as("ccos")),
+        Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
+        .select(col("query_id"), col("cid").as("cell"))
+      val c = probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("query_id")).count()
+      (e.count(), qs.count(), c)
+    }
+    val (n1, q1, c1) = cands("/root/testdata/sf0.001")
+    val (n2, q2, c2) = cands("/root/testdata/sf0.1")
+    val ratio = n2.toDouble / n1
+    assert(ratio >= 4.0, "testdata shape changed; expected >=4x embeddings jump")
+    val per1 = c1.toDouble / q1
+    val per2 = c2.toDouble / q2
+    info(f"q83 coarse candidates/query: $per1%.1f @ $n1 vecs -> $per2%.1f @ $n2 vecs (corpus ${ratio}%.0fx)")
+    assert(per2 <= 2.5 * per1,
+      f"per-query probe volume grew $per1%.1f -> $per2%.1f over a ${ratio}%.0fx corpus — cells not scaling with n")
+  }
+
   test("q44 auto bits-per-table bounds the self-join candidate volume as the corpus grows") {
     import graft.operators.Similarity
     import graft.functions.vec
