@@ -105,9 +105,14 @@ object Similarity {
     * survivor structure against the pair graph).
     *
     * `bitsPerTable < 0` (the default) auto-sizes the banding from the
-    * corpus count via [[autoBitsPerTable]] — one cheap count job
-    * (parquet row-group metadata for a plain scan), then linear
-    * candidate volume at any corpus size.
+    * corpus count via [[autoBitsPerTable]] — one count job, then
+    * linear candidate volume at any corpus size. The count is
+    * metadata-cheap ONLY for a plain parquet scan (row-group stats);
+    * a derived/joined/filtered frame pays a full extra evaluation
+    * here AND again when the pair generation re-reads `vectors` —
+    * callers with a non-trivial lineage should `.cache()` (or
+    * localCheckpoint) the frame first, or pass bits explicitly
+    * (ADVICE r7).
     */
   def dropNearDupVectors(vectors: DataFrame, idCol: String, vCol: String,
       tables: Int = 16, bitsPerTable: Int = -1, minCosine: Double = 0.9): DataFrame = {

@@ -60,6 +60,13 @@ object Text {
     * x·10⁴ in floating point while Spark rounds the decimal form;
     * §6(j): n_chars/500.0 is CAST to double in the oracle so DuckDB
     * doesn't route the quotient through exact DECIMAL arithmetic).
+    * The unrounded form is a STRICTER cross-engine contract than the
+    * rounded one — it requires both engines to evaluate this exact
+    * expression left-to-right in IEEE doubles with double-typed
+    * literals (holds today; the inputs are exact long/long
+    * divisions). The early-warning pin for a DuckDB literal-typing
+    * change is the sf1 gate: `tools/sf1_gate.sh` hash-compares q31 at
+    * the decade every time it runs (ADVICE r7).
     */
   val q31 = Q.of(
     "q31_quality_score",

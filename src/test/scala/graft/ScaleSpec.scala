@@ -141,6 +141,58 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q44 decade-bits recall: near-dup cosines survive autoBitsPerTable at the sf1 corpus") {
+    // VERDICT r7 "next" #8 — the knob's COST side is measured at the
+    // decade (candidate volume, above); this pins its RECALL side.
+    // Collision probability per pair depends only on (tables, bits,
+    // cosine), never on corpus size, so recall of the sf1-sized bits
+    // is measurable on a slice: copy-0 of the GenScale output (the
+    // intact sf0.1 geometry) plus 200 PLANTED perturbations at
+    // cos ≈ 0.93 — the testdata has no natural pairs above 0.6, and
+    // the claim to pin is exactly the must-not-miss band (≥0.9).
+    val sf1Emb = new java.io.File("/root/repo/testdata-sf1/embeddings.parquet")
+    assume(sf1Emb.exists, "testdata-sf1 missing — regenerate via tools/sf1_gate.sh")
+    import graft.operators.Similarity
+    import graft.functions.vec
+    val full = spark.read.parquet(sf1Emb.getPath)
+    val n = full.count()
+    assert(n >= 10000, s"sf1 embeddings unexpectedly small ($n)")
+    val bits = Similarity.autoBitsPerTable(n)
+    val stride = Tables(spark, "/root/testdata/sf0.1").embeddings.count()
+    val slice = full.filter(col("vec_id") < stride)
+      .select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
+    val base = slice.filter(col("vec_id") % 10 === 0).collect()
+    assert(base.length >= 100, s"slice sample too small (${base.length})")
+    val planted = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val rnd = new scala.util.Random(id) // fixed seed — deterministic
+      val u = Array.fill(v.length)(rnd.nextGaussian())
+      val unorm = math.sqrt(u.map(x => x * x).sum)
+      // v/|v| + 0.4·u/|u| has cos ≈ 1/sqrt(1+0.16) ≈ 0.93 to v for
+      // random (≈ orthogonal) noise — inside the must-not-miss band
+      val p = v.indices.map(i => v(i) / norm + 0.4 * u(i) / unorm).toArray
+      (1000000L + id, p)
+    }.toSeq
+    import spark.implicits._
+    val all = slice.union(planted.toDF("vec_id", "v"))
+    val a = all.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = all.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val exact = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos", vec.cosim(col("va"), col("vb")))
+      .filter(col("cos") >= 0.9)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 100, s"expected the planted pairs in the ground truth, got ${exact.size}")
+    val got = Similarity.lshNearDupPairs(all, "vec_id", "v",
+        tables = 16, bitsPerTable = bits, minCosine = 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got).toDouble / exact.size
+    info(f"sf1 decade bits=$bits (n=$n): recall@cos0.9 = $recall%.3f on ${exact.size} pairs")
+    assert(recall >= 0.9, f"decade-bits recall $recall%.3f below 0.9 — the log2(n) knob is eating near-dups")
+    spark.catalog.clearCache()
+  }
+
   test("Components rounds grow with component diameter, not pair volume") {
     import graft.operators.Components
     import spark.implicits._
