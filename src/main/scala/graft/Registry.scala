@@ -33,7 +33,11 @@ object Registry {
       graft.queries.Ann.all ++
       graft.queries.Multimodal.all ++
       graft.queries.Streaming.all ++
-      graft.queries.Bucketed.all
+      graft.queries.Bucketed.all ++
+      graft.queries.Quality.all ++
+      graft.queries.Contamination.all ++
+      graft.queries.Scd2.all ++
+      graft.queries.Pii.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Contamination, Pii, Quality, Scd2}
+
+/** Behavioral checks for the round-8 curation tier (q84–q87) on
+  * crafted inputs — the oracle proves cross-engine agreement on the
+  * synthetic corpus; these pin the SEMANTICS on inputs the corpus
+  * doesn't contain (pathological repetition, planted contamination,
+  * unchanged-update churn, real-looking PII).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q84 repetition metrics separate spam from diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      // 24 words, all "spam": top fraction 1.0, distinct 1/24 → drop
+      (1L, Seq.fill(24)("spam").mkString(" ")),
+      // diverse 26 distinct words → keep
+      (2L, ('a' to 'z').map(c => s"word$c").mkString(" ")),
+      // diverse words but every bigram repeated via doubling the text
+      (3L, (('a' to 'm').map(c => s"tok$c") ++ ('a' to 'm').map(c => s"tok$c")).mkString(" ")),
+      // short doc: under the 20-word floor → drop regardless of variety
+      (4L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val r = Quality.repetitionProfile(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("verdict") == "drop")
+    assert(r(1L).getAs[Double]("top_word_fraction") == 1.0)
+    assert(r(2L).getAs[String]("verdict") == "keep")
+    assert(r(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(r(2L).getAs[Double]("dup_bigram_fraction") == 0.0)
+    // doubled text: 13 distinct words over 26, and the duplicated
+    // half makes ~half the bigrams repeats → repetition gates fire
+    assert(r(3L).getAs[String]("verdict") == "drop")
+    assert(r(3L).getAs[Double]("dup_bigram_fraction") > 0.4)
+    assert(r(4L).getAs[String]("verdict") == "drop")
+    assert(r(4L).getAs[Long]("n_words") == 5L)
+  }
+
+  test("q84 is a pure projection: no hash exchange in the plan") {
+    val plan = planOf(run("q84_quality_filters"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q84 should shuffle only for the presentation sort:\n$plan")
+  }
+
+  test("q85 finds exactly the planted 8-gram overlap") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val docs = Seq(
+      // bench doc (id % 7 == 0) carrying the planted 8-gram
+      (7L, s"alpha beta $shared gamma delta epsilon zeta"),
+      // corpus doc sharing it → the ONE expected hit
+      (8L, s"unrelated prefix words here $shared and a tail"),
+      // corpus doc with no overlap
+      (9L, (1 to 20).map(i => s"clean$i").mkString(" ")),
+      // corpus doc shorter than k → no shingles, never a hit
+      (10L, "tiny doc under k words"))
+      .toDF("doc_id", "text")
+    val hits = Contamination.overlapReport(docs, mod = 7, k = 8).collect()
+    assert(hits.length == 1, s"expected one contaminated doc, got ${hits.mkString(",")}")
+    assert(hits(0).getAs[Long]("doc_id") == 8L)
+    assert(hits(0).getAs[Long]("n_bench_docs") == 1L)
+    // sliding the planted phrase through its own context yields exactly
+    // one shared shingle (the phrase itself — neighbors differ)
+    assert(hits(0).getAs[Long]("n_hit_shingles") == 1L)
+  }
+
+  test("q86 SCD2: one current row per key, no churn on identical updates") {
+    val rows = run("q86_scd2_merge").collect()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    for ((k, rs) <- byKey) {
+      assert(rs.count(_.getAs[String]("row_status") == "current") == 1,
+        s"key $k must have exactly one current row")
+      if (k % 10 == 5 && k < 1000000)
+        assert(rs.length == 1 && rs(0).getAs[java.sql.Date]("valid_from").toString == "2024-01-01",
+          s"identical update for $k must not churn the row")
+      if (k % 10 == 0 && k < 1000000) {
+        assert(rs.length == 2, s"changed key $k needs closed + current")
+        val closed = rs.find(_.getAs[String]("row_status") == "closed").get
+        assert(closed.getAs[java.sql.Date]("valid_to").toString == "2024-06-01")
+      }
+      if (k >= 1000000)
+        assert(rs.length == 1 && rs(0).getAs[java.sql.Date]("valid_from").toString == "2024-06-01",
+          s"insert key $k must appear once, valid from the batch date")
+    }
+  }
+
+  test("q86 merge core handles crafted changed/unchanged/new batches") {
+    import spark.implicits._
+    val dim = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("dk", "da", "ds")
+    val upd = Seq((2L, 20.0, "B"), (3L, 99.0, "C"), (4L, 1.0, "D"))
+      .toDF("uk", "ua", "us")
+    val out = Scd2.merge(dim, upd).collect()
+      .groupBy(_.getAs[Long]("c_custkey"))
+    assert(out(1L).length == 1 && out(1L)(0).getAs[String]("row_status") == "current") // untouched
+    assert(out(2L).length == 1) // identical update: no churn
+    assert(out(3L).length == 2) // changed: closed + new version
+    assert(out(3L).map(_.getAs[String]("row_status")).sorted.toSeq == Seq("closed", "current"))
+    assert(out(3L).find(_.getAs[String]("row_status") == "current").get.getAs[Double]("c_acctbal") == 99.0)
+    assert(out(4L).length == 1 && out(4L)(0).getAs[String]("row_status") == "current") // insert
+  }
+
+  test("q87 redactor on real-looking PII") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach bob99@mailhost.com or ref 12345678 thanks"),
+      (2L, "no pii here just 123 words and 42 numbers"),
+      (3L, "two mails a@b.io c1@d2.net and 99999999999"))
+      .toDF("doc_id", "t2")
+    val r = Pii.redactionReport(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 1L)
+    assert(r(1L).getAs[Long]("n_longnums") == 1L)
+    assert(r(2L).getAs[Long]("n_emails") == 0L)
+    assert(r(2L).getAs[Long]("n_longnums") == 0L) // short numbers stay
+    assert(r(3L).getAs[Long]("n_emails") == 2L)
+    assert(r(3L).getAs[Long]("n_longnums") == 1L)
+    val red = docs.select(col("doc_id"), Pii.redactText(col("t2")).as("t")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("t")).toMap
+    assert(red(1L) == "reach <EMAIL> or ref <NUM> thanks")
+    assert(red(2L) == "no pii here just 123 words and 42 numbers")
+    assert(red(3L) == "two mails <EMAIL> <EMAIL> and <NUM>")
+  }
+}
