@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{Similarity, TopK}
+import graft.operators.{ProductQuant, Similarity, TopK}
 import graft.functions.vec
 
 /** Similarity-search queries over the embeddings table (SURVEY.md §2
@@ -285,5 +285,115 @@ object Ann {
     ivfRerankTopK(e, centroids)
   }
 
-  def all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q83)
+  /** The PQ-ADC coarse + exact-rerank tail — shared by q88 and
+    * AnnSpec's recall comparison. `coarseK` candidates survive the
+    * 8-byte-code scan into the exact double re-rank.
+    */
+  private[graft] def pqRerankTopK(e: DataFrame, cb: ProductQuant.Codebooks,
+      coarseK: Int): DataFrame = {
+    val enc = e.select(col("vec_id"), ProductQuant.encode(col("v"), cb).as("code"))
+    val qs = queriesOf(e)
+      .select(col("query_id"),
+        ProductQuant.queryLut(col("qv"), cb).as("lut"),
+        vec.norm(col("qv")).as("qnorm"))
+    val coarse = TopK.perGroup(
+      enc.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          ProductQuant.adcCosine(col("lut"), col("qnorm"), col("code"), cb).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("vec_id")), k = coarseK, rankCol = "crn")
+      .select(col("query_id"), col("vec_id"))
+    val scored = coarse
+      .join(e, "vec_id")
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
+    rankTopK(scored, 10)
+  }
+
+  /** q88: product-quantization retrieval ([[ProductQuant]]) — the
+    * compression tier BELOW scalar int8: 8 subspaces × 16-entry
+    * codebooks store each vector as 8 code indices (8 B vs q53's
+    * 64 B at dim 64 — 32× below the double tier), and the coarse scan
+    * scores a candidate with 8 ADC table lookups + adds instead of 64
+    * multiplies. The LUT is computed once per QUERY (m·k sub-dots on
+    * the broadcast side); the corpus-side pass is a pure projection
+    * over the 8-byte codes, zero shuffle before the top-`coarseK`
+    * window (ids + score only); exact double re-rank restores
+    * precision for the 100 survivors. PQ distortion at 16 entries per
+    * 8-dim subspace is real — recall comes from the wide coarse set +
+    * exact tail, the standard PQ deployment shape; AnnSpec pins
+    * recall@10 vs exact q50, ScaleSpec pins the decade growth.
+    * Rows-only (scores are approximations by design).
+    */
+  val q88 = Q.rowsOnly("q88_ann_pq") { t =>
+    val e = vectors(t)
+    val cb = ProductQuant.trainCodebooks(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      "vec_id", "v", m = 8, k = 16, iters = 2)
+    pqRerankTopK(e, cb, coarseK = 100)
+  }
+
+  /** The IVFADC tail: probed IVF cells bound WHICH vectors are
+    * touched, PQ-ADC codes set HOW CHEAPLY, exact re-rank restores
+    * precision — shared by q89 and AnnSpec's recall comparison. The PQ
+    * code rides the assignment row (like q83's int8 twin), so the
+    * candidate tier needs no extra join; the probe×(LUT, qnorm) frame
+    * broadcasts onto the assigned corpus.
+    */
+  private[graft] def ivfAdcTopK(e: DataFrame, centroids: DataFrame,
+      cb: ProductQuant.Codebooks, coarseK: Int): DataFrame = {
+    val assignedPq = Similarity.assignToCentroids(
+      e.withColumn("code", ProductQuant.encode(col("v"), cb)),
+      centroids, "vec_id", "v", "cid", "cv")
+      .select(col("vec_id"), col("code"), col("cell"))
+    val probes = TopK.perGroup(
+      queriesOf(e).crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("cid"),
+          vec.cosim(col("qv"), col("cv")).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("cid")), k = 5, rankCol = "crn")
+      .select(col("query_id"), col("cid").as("cell"))
+    val qsLut = queriesOf(e)
+      .select(col("query_id"),
+        ProductQuant.queryLut(col("qv"), cb).as("lut"),
+        vec.norm(col("qv")).as("qnorm"))
+    val coarse = TopK.perGroup(
+      broadcast(probes.join(qsLut, "query_id")).join(assignedPq, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          ProductQuant.adcCosine(col("lut"), col("qnorm"), col("code"), cb).as("ccos")),
+      Seq(col("query_id")), Seq(col("ccos").desc, col("vec_id")), k = coarseK, rankCol = "crn")
+      .select(col("query_id"), col("vec_id"))
+    val scored = coarse
+      .join(e, "vec_id")
+      .join(broadcast(queriesOf(e)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        vec.cosim(col("qv"), col("v")).as("cos"))
+    rankTopK(scored, 10)
+  }
+
+  /** q89: IVFADC — the full production index shape from the PQ
+    * literature (IVF coarse cells + PQ residual-free codes + ADC
+    * scan + exact re-rank), composing q52's trained cells with q88's
+    * codebooks: candidates-per-query is bounded by the ~5 probed
+    * cells (NOT the corpus — the q83 property), and each candidate
+    * costs m=8 ADC lookups on an 8-byte code (NOT a dot product — the
+    * q88 property). The index storage per vector is 8 B of codes +
+    * one cell id; the full-precision vector is touched only for the
+    * `coarseK` re-rank survivors per query. Zero-shuffle assignment,
+    * broadcast probes, ids+score through the only wide exchange.
+    * Rows-only; AnnSpec pins recall vs the q52 probed-cell ceiling.
+    */
+  val q89 = Q.rowsOnly("q89_ann_ivfadc") { t =>
+    val e = vectors(t)
+    val centroids = Similarity.trainCentroids(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      ivfSeeds(e), "vec_id", "v", "cid", "cv", iters = 2)
+    val cb = ProductQuant.trainCodebooks(
+      e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      "vec_id", "v", m = 8, k = 16, iters = 2)
+    ivfAdcTopK(e, centroids, cb, coarseK = 100)
+  }
+
+  def all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q83, q88, q89)
 }

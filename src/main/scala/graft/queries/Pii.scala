@@ -54,13 +54,28 @@ object Pii {
       |  )
       |)
       |ORDER BY doc_id""".stripMargin) { t =>
-    val withPii = t.documents
-      .select(col("doc_id"),
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".com ref "),
-          (lit(1000000L) + col("doc_id") * 7919L).cast("string")).as("t2"))
-    redactionReport(withPii).orderBy(col("doc_id"))
+    redactionReport(withSyntheticPii(t.documents).select("doc_id", "t2"))
+      .orderBy(col("doc_id"))
   }
+
+  /** APPENDS `t2` = text + the deterministic contact line (email +
+    * 7+-digit ref, closed-form in doc_id) — the shared fixture for
+    * q87 and the q90 streaming curation pass; the oracle re-derives
+    * the identical column in SQL. Stateless projection.
+    */
+  def withSyntheticPii(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("t2",
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".com ref "),
+        (lit(1000000L) + col("doc_id") * 7919L).cast("string")))
+
+  /** The t2 fixture as oracle SQL (kept textually next to the Spark
+    * form above so the two can't drift).
+    */
+  private[queries] val SyntheticPiiSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.com ref '" +
+      " || CAST(1000000 + doc_id * 7919 AS VARCHAR)"
 
   /** The q87 detector/redactor over any (doc_id, t2) frame — factored
     * so CurationSpec can drive it with crafted PII strings. Pure

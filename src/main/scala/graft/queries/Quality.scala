@@ -71,9 +71,20 @@ object Quality {
     * q84 body, factored so CurationSpec can drive it with crafted
     * repetitive/diverse documents. Pure projection; adds no exchange.
     */
-  def repetitionProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def repetitionProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withVerdict(docs).select(
+      col("doc_id"), col("n_words"), col("distinct_ratio"),
+      col("top_word_fraction"), col("dup_bigram_fraction"),
+      col("mean_word_len"), col("verdict"))
+
+  /** APPENDS the metric + verdict columns, keeping every input column
+    * (q90's streaming curation pass needs `lang`/`text` alongside the
+    * verdict; q84 projects the report shape from this). Stateless —
+    * safe on streaming frames.
+    */
+  def withVerdict(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("w", split(col("text"), " "))
       .withColumn("bi", expr(
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
           " (a, b) -> concat(a, ' ', b))"))
@@ -90,23 +101,25 @@ object Quality {
           |    acc -> acc.best)
           |END""".stripMargin)
         .as("top_cnt"))
-      .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        (size(array_distinct(col("w"))).cast("double") /
-          nullif(size(col("w")).cast("long"), lit(0L))).as("distinct_ratio"),
-        (col("top_cnt").cast("double") /
-          nullif(size(col("w")).cast("long"), lit(0L))).as("top_word_fraction"),
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("w"))).cast("double") /
+          nullif(col("n_words"), lit(0L)))
+      .withColumn("top_word_fraction",
+        col("top_cnt").cast("double") / nullif(col("n_words"), lit(0L)))
+      .withColumn("dup_bigram_fraction",
         coalesce(
           lit(1.0) - size(array_distinct(col("bi"))).cast("double") /
             nullif(size(col("bi")).cast("long"), lit(0L)),
-          lit(0.0)).as("dup_bigram_fraction"),
-        (expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
-          nullif(size(col("w")).cast("long"), lit(0L))).as("mean_word_len"))
+          lit(0.0)))
+      .withColumn("mean_word_len",
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          nullif(col("n_words"), lit(0L)))
       .withColumn("verdict",
         when(col("n_words") >= 20 && col("distinct_ratio") >= 0.5 &&
           col("top_word_fraction") <= 0.125 && col("dup_bigram_fraction") <= 0.0625,
           "keep").otherwise("drop"))
+      .drop("w", "bi", "sw", "top_cnt")
   }
 
   def all: Seq[Q] = Seq(q84)

@@ -139,5 +139,48 @@ object Streaming {
       .orderBy(col("user_id"), col("out_id"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77)
+  /** q90: streaming corpus curation in batch mode — the streaming
+    * deployment's exact operator ([[EventStreams.curatedCounts]]):
+    * PII-redact + repetition-verdict every document, roll up per
+    * (lang, verdict) with redacted-char accounting. All per-row logic
+    * is the oracle-checked q84/q87 machinery (same expressions, same
+    * §6 cross-engine contract — the oracle below recomposes both
+    * inline); StreamingSpec drives the readStream file-source path and
+    * asserts it equals this batch result row-for-row.
+    */
+  val q90 = Q.of(
+    "q90_stream_curation",
+    """SELECT lang, verdict, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(regexp_replace(regexp_replace(t2,
+      |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]{7,}', '<NUM>', 'g'))) AS BIGINT) AS redacted_chars
+      |FROM (
+      |  SELECT lang, t2,
+      |    CASE WHEN n_words >= 20 AND distinct_ratio >= 0.5
+      |          AND top_word_fraction <= 0.125 AND dup_bigram_fraction <= 0.0625
+      |         THEN 'keep' ELSE 'drop' END AS verdict
+      |  FROM (
+      |    SELECT lang, t2, len(w) AS n_words,
+      |      CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0) AS distinct_ratio,
+      |      CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(w) AS t(x) GROUP BY x)) AS DOUBLE)
+      |        / NULLIF(len(w), 0) AS top_word_fraction,
+      |      COALESCE(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / NULLIF(len(bi), 0), 0.0) AS dup_bigram_fraction
+      |    FROM (
+      |      SELECT lang, string_split(text, ' ') AS w,
+      |        list_transform(range(1, len(string_split(text, ' '))),
+      |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bi,
+      |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |             || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.com ref '
+      |             || CAST(1000000 + doc_id * 7919 AS VARCHAR) AS t2
+      |      FROM documents
+      |    )
+      |  )
+      |)
+      |GROUP BY lang, verdict
+      |ORDER BY lang, verdict""".stripMargin) { t =>
+    EventStreams.curatedCounts(t.documents)
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77, q90)
 }

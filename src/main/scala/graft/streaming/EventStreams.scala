@@ -200,6 +200,25 @@ object EventStreams {
         col("out_us"),
         (col("out_us") - col("touch.imp_us")).as("delay_us"))
 
+  /** Streaming corpus curation (SURVEY §2 q90): the round-8 curation
+    * tier applied to an INGEST STREAM — every arriving document is
+    * PII-scrubbed ([[graft.queries.Pii.redactText]]) and
+    * repetition-gated ([[graft.queries.Quality.withVerdict]]), then
+    * rolled up per (lang, verdict) with kept-char accounting — the
+    * live quality monitor a crawl pipeline runs next to its sink.
+    * Both building blocks are stateless per-row projections, so the
+    * only streaming state is one row per (lang, verdict) cell in the
+    * aggregate; identical logical plan in batch, which is how the q90
+    * oracle checks it (the StreamingSpec file-source run must equal
+    * the batch run exactly).
+    */
+  def curatedCounts(docs: DataFrame): DataFrame =
+    graft.queries.Quality.withVerdict(graft.queries.Pii.withSyntheticPii(docs))
+      .select(col("lang"), col("verdict"),
+        length(graft.queries.Pii.redactText(col("t2"))).as("rlen"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("rlen")).as("redacted_chars"))
+
   /** Idempotent partitioned-parquet sink — closes the ingest loop
     * (VERDICT r4 #7; deployment shape of the reference's "Real-time
     * Personalization Effectiveness" consumer): `Trigger.AvailableNow`

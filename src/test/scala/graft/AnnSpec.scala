@@ -169,6 +169,56 @@ class AnnSpec extends SparkSpec {
     assert(r83 >= 0.3, f"q83 recall $r83%.3f below floor")
   }
 
+  test("q88 PQ-ADC coarse + exact re-rank recall@10 vs exact q50") {
+    // 16 entries per 8-dim subspace on uniform-random vectors is the
+    // hostile case for PQ (distortion is maximal when there is no
+    // cluster structure to quantize onto) — recall comes from the
+    // wide coarse-50 set + exact tail, and the floor is calibrated to
+    // that, like q51/q52's.
+    val r = recallAt10(topk("q88_ann_pq"))
+    info(f"q88 recall@10 = $r%.3f")
+    // measured 0.84 at sf0.001 with coarse-100 (0.62 at coarse-50)
+    assert(r >= 0.7, f"q88 recall $r%.3f below floor")
+  }
+
+  test("q89 IVFADC recall tracks the probed-cell ceiling (q52)") {
+    // q89's candidate set is q52's probed cells; inside them the ADC
+    // scores pick coarse-100, which the exact tail re-orders — so q52
+    // is the ceiling and the gap is PQ ordering noise the wide coarse
+    // set mostly absorbs (the q88-vs-q50 result, applied per cell).
+    val r52 = recallAt10(topk("q52_centroid_ivf"))
+    val r89 = recallAt10(topk("q89_ann_ivfadc"))
+    info(f"q52 recall@10 = $r52%.3f, q89 recall@10 = $r89%.3f")
+    assert(r89 >= r52 - 0.05,
+      f"q89 recall $r89%.3f fell more than 0.05 below its q52 ceiling $r52%.3f")
+    assert(r89 >= 0.3, f"q89 recall $r89%.3f below floor")
+  }
+
+  test("PQ encode is exact on vectors that ARE codebook entries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, exists}
+    import graft.operators.ProductQuant
+    val e = graft.queries.Ann.vectors(Tables(spark, sfDir))
+    val cb = ProductQuant.trainCodebooks(e, "vec_id", "v", m = 8, k = 16, iters = 1)
+    // a vector assembled from codebook entries (subspace mm takes
+    // entry (mm*3+1) % 16) must encode to exactly those indices:
+    // L2(sub, chosen entry) = 0, and ties can't beat a zero distance
+    // unless another entry is identical (then lowest index wins —
+    // assert the reconstruction matches instead of the raw index)
+    val chosen = Array.tabulate(8)(mm => (mm * 3 + 1) % 16)
+    val v = chosen.zipWithIndex.flatMap { case (j, mm) => cb(mm)(j) }
+    val code = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(ProductQuant.encode(col("v"), cb).as("code"))
+      .head().getSeq[Int](0)
+    for (mm <- 0 until 8)
+      assert(cb(mm)(code(mm)).sameElements(cb(mm)(chosen(mm))),
+        s"subspace $mm: code ${code(mm)} does not reconstruct entry ${chosen(mm)}")
+    // and every corpus code is a valid index
+    val bad = e.select(ProductQuant.encode(col("v"), cb).as("code"))
+      .filter(exists(col("code"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0L, s"$bad corpus vectors encoded out of range")
+  }
+
   test("q50/q51/q52/q53 rank paths all get partial WindowGroupLimit") {
     for (name <- Seq("q50_ann_bruteforce", "q51_ann_lsh", "q52_centroid_ivf", "q53_ann_quantized"))
       assert(planOf(run(name)).contains("WindowGroupLimit"),

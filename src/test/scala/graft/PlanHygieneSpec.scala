@@ -26,14 +26,17 @@ import org.apache.spark.sql.execution.LocalTableScanExec
 class PlanHygieneSpec extends SparkSpec {
 
   /** Queries whose BNLJ is a documented design, not an accident:
-    *  - q50/q53/q54 — the brute-force and int8-quantized ANN tiers
-    *    score every (query, vector) pair BY DESIGN: the bounded query
-    *    set is the broadcast side, the corpus side streams (never
-    *    shuffled), and the LSH/IVF entries (q51/q52) are the scale
-    *    path for when the query set itself grows (SURVEY §5).
+    *  - q50/q53/q54/q88 — the brute-force, int8-quantized, and PQ-ADC
+    *    ANN tiers score every (query, vector) pair BY DESIGN: the
+    *    bounded query set is the broadcast side, the corpus side
+    *    streams (never shuffled), and the LSH/IVF entries (q51/q52)
+    *    are the scale path for when the query set itself grows
+    *    (SURVEY §5). q88's streamed side is the 8-byte PQ codes, the
+    *    cheapest per-pair scan of the family.
     */
   private val allowedBnlj = Set(
-    "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank")
+    "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
+    "q88_ann_pq")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -174,6 +174,21 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
   }
 
+  test("q90: streaming curation over file source equals batch result") {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val q = EventStreams.curatedCounts(stream)
+      .writeStream.format("memory").queryName("q90mem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("q90mem")
+      .orderBy("lang", "verdict").collect().toSeq
+    val batch = run("q90_stream_curation").collect().toSeq
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("q76: stream-stream attribution self-join over file source equals batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
