@@ -53,17 +53,23 @@ object Contamination {
     overlapReport(t.documents, mod = 7, k = K).orderBy(col("doc_id"))
   }
 
-  /** The q85 body over any (doc_id, text) frame — benchmark slice =
-    * `doc_id % mod = 0`; factored so CurationSpec can plant a known
-    * shared k-gram and assert it is the ONLY hit.
+  /** (doc_id, h) — the per-doc DISTINCT k-gram shingle hashes, the
+    * shared front end of the exact (q85) and Bloom (q91) paths.
     */
-  def overlapReport(docs: org.apache.spark.sql.DataFrame, mod: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val shingled = docs
+  private def shingleHashes(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(0, size(w) - $k)," +
           s" i -> xxhash64(concat_ws(' ', slice(w, i + 1, $k)))))")).as("h"))
+
+  /** The q85 body over any (doc_id, text) frame — benchmark slice =
+    * `doc_id % mod = 0`; factored so CurationSpec can plant a known
+    * shared k-gram and assert it is the ONLY hit.
+    */
+  def overlapReport(docs: org.apache.spark.sql.DataFrame, mod: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val shingled = shingleHashes(docs, k)
     val bench = shingled.filter(col("doc_id") % mod === 0)
       .select(col("doc_id").as("bench_id"), col("h"))
     val corp = shingled.filter(col("doc_id") % mod =!= 0)
@@ -74,5 +80,95 @@ object Contamination {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
-  def all: Seq[Q] = Seq(q85)
+  // ---- Bloom path (q91) ----------------------------------------------
+
+  /** Second hash for double hashing — h2(h) must be identical on the
+    * build and probe sides, so it is defined exactly once. The odd-ify
+    * (`| 1`) keeps the probe stride and m coprime-ish so the k probes
+    * don't collapse onto one bit when h2 ≡ 0 (mod m).
+    */
+  private def h2(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(h, lit(0x9e3779b97f4a7c15L)).bitwiseOR(lit(1L))
+
+  /** Bit positions a hash sets/probes: (h + i·h2(h)) mod m, i < k.
+    * Both terms are reduced mod m BEFORE combining so the arithmetic
+    * never overflows a long under ANSI mode (i·stride < 14·m ≪ 2⁶³);
+    * m is even (word-aligned) and the stride odd, so the stride can't
+    * collapse to 0 mod m.
+    */
+  private def positions(h: org.apache.spark.sql.Column, m: Long, k: Int) = {
+    val base = pmod(h, lit(m))
+    val stride = pmod(h2(h), lit(m))
+    (0 until k).map(i => pmod(base + lit(i.toLong) * stride, lit(m)))
+  }
+
+  /** Build the benchmark Bloom filter: distinct set-bit positions are
+    * computed DISTRIBUTED (explode → distinct), and only the positions
+    * come back to the driver — state is bounded by the BENCHMARK
+    * suite's size (a fixed eval set in production; ~n·k ints), the
+    * same budget class as the Lloyd/IVF driver state. Returns the bit
+    * words.
+    */
+  def buildBloom(benchHashes: org.apache.spark.sql.DataFrame, m: Long, k: Int): Array[Long] = {
+    val pos = benchHashes
+      .select(explode(array(positions(col("h"), m, k): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    pos.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    words
+  }
+
+  /** Membership test as a pure (codegen'd) column expression over the
+    * broadcast literal bit words — k static element_at probes, no join,
+    * no shuffle, no UDF.
+    */
+  def mightContain(words: Array[Long], m: Long, k: Int,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val wordsLit = typedlit(words.toSeq)
+    positions(h, m, k).map { p =>
+      call_function("shiftright",
+        element_at(wordsLit, shiftright(p, 6).cast("int") + 1),
+        (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** The q91 body: benchmark shingles → Bloom filter (≈19 bits/shingle,
+    * k=13 → per-shingle FP ≈ 1e-4); corpus docs are then flagged by a
+    * ZERO-JOIN scan — each shingle tests k bits of the broadcast
+    * filter. No false negatives (Bloom guarantee): the flagged set is
+    * a superset of q85's exact answer; CurationSpec pins superset +
+    * FP budget.
+    */
+  def bloomReport(docs: org.apache.spark.sql.DataFrame, mod: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val shingled = shingleHashes(docs, k)
+    val bench = shingled.filter(col("doc_id") % mod === 0).select(col("h"))
+    val nBench = math.max(1L, bench.distinct().count())
+    // ≈19.2 bits/element (per-shingle FP ≈ 1e-4 at k=13), word-aligned
+    val m = math.max(640L, (nBench * 96L / 5L + 63L) / 64L * 64L)
+    val kProbes = 13
+    val words = buildBloom(bench, m, kProbes)
+    shingleHashes(docs, k) // fresh lineage: the probe side re-scans
+      .filter(col("doc_id") % mod =!= 0)
+      .filter(mightContain(words, m, kProbes, col("h")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_shingles"))
+  }
+
+  /** q91: Bloom-filter decontamination — the 100 TB shape of q85: the
+    * benchmark suite crosses the cluster ONCE as ~m/8 bytes of filter
+    * (62 KiB at the sf1 bench size) instead of meeting the corpus in a
+    * shuffle join; the corpus side is a pure scan projection (k=13
+    * bit probes per shingle), so the common no-hit case costs ZERO
+    * exchange — the only shuffle left is the per-doc count of flagged
+    * shingles, whose input is just the (rare) flagged rows. Rows-only:
+    * the flagged set is approximate-by-design (superset of exact,
+    * per-shingle FP ≈ 1e-4); CurationSpec pins no-false-negatives vs
+    * q85 and the FP budget.
+    */
+  val q91 = Q.rowsOnly("q91_contamination_bloom") { t =>
+    bloomReport(t.documents, mod = 7, k = K).orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(q85, q91)
 }

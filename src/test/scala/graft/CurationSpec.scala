@@ -103,6 +103,44 @@ class CurationSpec extends SparkSpec {
     assert(out(4L).length == 1 && out(4L)(0).getAs[String]("row_status") == "current") // insert
   }
 
+  test("q91 Bloom decontamination: no false negatives vs exact q85, FP within budget") {
+    val exact = run("q85_contamination").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_shingles")).toMap
+    val bloom = run("q91_contamination_bloom").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged_shingles")).toMap
+    // Bloom guarantee: every exactly-contaminated doc is flagged, and
+    // its flagged-shingle count can only be >= the exact hit count
+    for ((d, n) <- exact) {
+      assert(bloom.contains(d), s"doc $d contaminated exactly but not Bloom-flagged")
+      assert(bloom(d) >= n, s"doc $d flagged ${bloom(d)} < exact $n shingles")
+    }
+    // FP budget: per-shingle FP ~1e-4 at 19.2 bits/element, k=13;
+    // ~50 distinct shingles/doc => P(clean doc flagged) ~0.5%. Allow
+    // a generous margin over the expectation on the 500-5000-doc SFs.
+    val extra = bloom.keySet -- exact.keySet
+    val corpusDocs = run("q84_quality_filters").count() // all docs incl. bench
+    assert(extra.size <= math.max(5L, corpusDocs / 20),
+      s"${extra.size} falsely flagged docs of $corpusDocs — FP far over budget")
+    info(s"q91: ${exact.size} exact, ${bloom.size} flagged, ${extra.size} false positives")
+  }
+
+  test("q91 Bloom membership expression agrees with the driver-side bits") {
+    import spark.implicits._
+    import graft.queries.Contamination
+    // tiny hand-built filter: insert 3 hashes, probe 6 (3 in, 3 out)
+    val m = 640L
+    val k = 5
+    val in = Seq(11L, -42L, 1L << 60)
+    val out = Seq(7L, -8L, 999999L)
+    val bits = Contamination.buildBloom(in.toDF("h"), m, k)
+    val r = (in ++ out).toDF("h")
+      .select(col("h"), Contamination.mightContain(bits, m, k, col("h")).as("hit"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    for (h <- in) assert(r(h), s"inserted hash $h not found (false negative)")
+    // 640 bits for 3 elements: FP ~ (15/640)^5 ~ 1e-9 — misses mean a bug
+    for (h <- out) assert(!r(h), s"non-inserted hash $h hit (collision at 3/640 load?)")
+  }
+
   test("q87 redactor on real-looking PII") {
     import spark.implicits._
     val docs = Seq(
