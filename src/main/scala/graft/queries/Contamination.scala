@@ -141,14 +141,17 @@ object Contamination {
     * FP budget.
     */
   def bloomReport(docs: org.apache.spark.sql.DataFrame, mod: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val shingled = shingleHashes(docs, k)
+    // one shingling pass feeds the bench count, the filter build, and
+    // the probe scan (uncached this is 3 scans + 3 shingle recomputes;
+    // caching took the sf0.1 bench run 2.8 s → the probe-pass cost)
+    val shingled = graft.CacheScope.trackedCache(shingleHashes(docs, k))
     val bench = shingled.filter(col("doc_id") % mod === 0).select(col("h"))
     val nBench = math.max(1L, bench.distinct().count())
     // ≈19.2 bits/element (per-shingle FP ≈ 1e-4 at k=13), word-aligned
     val m = math.max(640L, (nBench * 96L / 5L + 63L) / 64L * 64L)
     val kProbes = 13
     val words = buildBloom(bench, m, kProbes)
-    shingleHashes(docs, k) // fresh lineage: the probe side re-scans
+    shingled
       .filter(col("doc_id") % mod =!= 0)
       .filter(mightContain(words, m, kProbes, col("h")))
       .groupBy(col("doc_id"))
