@@ -383,4 +383,28 @@ class ScaleSpec extends SparkSpec {
     assert(lt1 == ao1 && lt2 == ao2,
       s"last-touch not one-per-outcome: $lt1/$ao1 and $lt2/$ao2")
   }
+
+  test("q91 Bloom FP calibration holds at the sf1 bench load (~330k shingles)") {
+    import graft.queries.Contamination
+    // the 19.2-bits/element sizing is a CONSTANT FP contract: the
+    // filter grows with the bench suite, so per-shingle FP (~1e-4)
+    // and hence the false-flagged-doc rate must NOT drift as the
+    // suite grows 100x over the spec SFs — this pins it at the
+    // decade's ~7.1k bench docs / ~330k distinct shingles.
+    val sf1Docs = new java.io.File("/root/repo/testdata-sf1/documents.parquet")
+    assume(sf1Docs.exists, "testdata-sf1 missing — regenerate via tools/sf1_gate.sh")
+    val docs = spark.read.parquet(sf1Docs.getPath)
+    val exact = Contamination.overlapReport(docs, mod = 7, k = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Contamination.bloomReport(docs, mod = 7, k = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((exact -- bloom).isEmpty,
+      s"${(exact -- bloom).size} false negatives at sf1 — Bloom guarantee broken")
+    val corpusDocs = docs.count()
+    val fpDocs = (bloom -- exact).size
+    info(s"sf1 bloom: $corpusDocs docs, ${exact.size} exact, $fpDocs false positives")
+    // expectation ~0.5% of clean docs (46 shingles x 1e-4); allow 4x
+    assert(fpDocs <= math.max(10L, corpusDocs / 50),
+      s"$fpDocs falsely flagged of $corpusDocs — FP calibration drifted at the decade")
+  }
 }
