@@ -37,7 +37,8 @@ object Registry {
       graft.queries.Quality.all ++
       graft.queries.Contamination.all ++
       graft.queries.Scd2.all ++
-      graft.queries.Pii.all
+      graft.queries.Pii.all ++
+      graft.queries.Compaction.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

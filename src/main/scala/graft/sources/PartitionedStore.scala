@@ -117,4 +117,64 @@ object PartitionedStore {
       .mode("append")
       .parquet(path)
   }
+
+  /** Small-file compaction — the table-maintenance half of the layout
+    * story. Streaming sinks ([[writeBatch]]) and high-parallelism
+    * writers fragment a partition directory into one file per task;
+    * at 100 TB that multiplies scan open/footer costs, planner
+    * listing time, and (on object stores) request counts until reads
+    * are dominated by per-file overhead. `compact` rewrites ONLY the
+    * leaf directories that need it — more files than
+    * `ceil(bytes / targetBytes)` — to that file count, leaving
+    * healthy partitions untouched, so a nightly pass over a 100 TB
+    * table costs proportional to the day's fragmentation, not the
+    * table.
+    *
+    * Each rewrite is a distributed read→coalesce→write job; the
+    * driver holds only the partition listing (bounded by the layout
+    * contract: partition columns have bounded cardinality). The swap
+    * is write-to-temp + delete + rename — atomic per directory on
+    * POSIX/HDFS, NOT on S3 (same contract as [[writeBatch]]: designed
+    * for maintenance windows / drain-then-read, not concurrent
+    * readers; a manifest-commit table format is the continuous-reader
+    * answer and out of scope).
+    *
+    * Returns (dir → (filesBefore, filesAfter)) for the rewritten
+    * directories — the observability a maintenance job logs.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).toSeq
+      val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(leafDirs)
+    }
+
+    leafDirs(root).flatMap { dir =>
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val bytes = parts.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (parts.length <= want) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir.getParent, s".graft_compact_tmp_${dir.getName}")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        // the dir read sees only data columns; partition values live in
+        // the directory name and are restored by the rename
+        spark.read.parquet(dir.toString)
+          .coalesce(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // keep _SUCCESS out of the swapped-in dir (readers list part-*)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        fs.delete(dir, true)
+        require(fs.rename(tmp, dir), s"compact: rename $tmp -> $dir failed")
+        val after = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+        Some(dir.toString -> (parts.length, after))
+      }
+    }.toMap
+  }
 }

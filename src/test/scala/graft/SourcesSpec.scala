@@ -13,6 +13,70 @@ class SourcesSpec extends SparkSpec {
   private val dir = java.nio.file.Files
     .createTempDirectory("graft_part").toString + "/events_by_type"
 
+  test("compact collapses fragmented partitions, preserves data, no-ops when healthy") {
+    import org.apache.hadoop.fs.Path
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/events_frag"
+    val events = tables.events.select("event_id", "user_id", "event_type")
+    // fragment: one file per task, the shape a wide writer leaves
+    events.repartition(17)
+      .write.partitionBy("event_type").mode("overwrite").parquet(cdir)
+    val fs = new Path(cdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(sub: String) = fs.listStatus(new Path(cdir, sub))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(files("event_type=view") > 10, "fixture not fragmented?")
+
+    val stats = PartitionedStore.compact(spark, cdir) // huge target => 1 file/dir
+    assert(stats.nonEmpty, "compact reported no rewrites on a fragmented table")
+    for ((d, (before, after)) <- stats) {
+      assert(after == 1, s"$d compacted to $after files, want 1")
+      assert(before > after, s"$d rewritten without gain")
+    }
+    assert(files("event_type=view") == 1)
+
+    // data intact: same rows as the source, partition values included
+    val back = PartitionedStore.readPartitioned(spark, cdir)
+    assert(back.count() == events.count())
+    val a = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = back.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"per-partition counts drifted: $a vs $b")
+
+    // pruning still works over the compacted layout
+    val plan = back.filter(col("event_type") === "purchase")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"compacted layout lost planning-time pruning:\n$plan")
+
+    // idempotent: a second pass finds nothing to do
+    assert(PartitionedStore.compact(spark, cdir).isEmpty,
+      "second compact pass rewrote already-healthy partitions")
+  }
+
+  test("compact leaves healthy partitions untouched (targeted rewrite)") {
+    import org.apache.hadoop.fs.Path
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_compact2").toString + "/mixed"
+    val docs = tables.documents.select("doc_id", "lang", "source")
+    // source=src0 fragmented, the rest written healthy (1 file each)
+    docs.filter(col("source") === "src0").repartition(9)
+      .write.partitionBy("source").mode("overwrite").parquet(cdir)
+    docs.filter(col("source") =!= "src0").repartition(col("source"))
+      .write.partitionBy("source").mode("append").parquet(cdir)
+    val fs = new Path(cdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(sub: String) = fs.listStatus(new Path(cdir, sub))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val healthyBefore = mtimes("source=src1")
+    val stats = PartitionedStore.compact(spark, cdir)
+    assert(stats.keys.forall(_.contains("source=src0")),
+      s"compact touched healthy partitions: ${stats.keys}")
+    assert(mtimes("source=src1") == healthyBefore,
+      "healthy partition files were rewritten")
+    assert(PartitionedStore.readPartitioned(spark, cdir).count() == docs.count())
+  }
+
   test("partitioned write round-trips and prunes partitions at planning time") {
     val events = tables.events.select("event_id", "user_id", "ts", "event_type")
     PartitionedStore.writePartitioned(events, dir, Seq("event_type"))
