@@ -38,7 +38,8 @@ object Registry {
       graft.queries.Contamination.all ++
       graft.queries.Scd2.all ++
       graft.queries.Pii.all ++
-      graft.queries.Compaction.all
+      graft.queries.Compaction.all ++
+      graft.queries.DataQuality.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -141,6 +141,41 @@ class CurationSpec extends SparkSpec {
     for (h <- out) assert(!r(h), s"non-inserted hash $h hit (collision at 3/640 load?)")
   }
 
+  test("q93 contract counters actually count on broken fixtures") {
+    import spark.implicits._
+    import graft.queries.DataQuality
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // (quantity, price, discount, flag, shipdate): one clean row, then
+    // one row per broken rule (discount -0.2 also flips net>gross)
+    val rows = Seq(
+      (10.0, 100.0, 0.05, "A", Option(ts)),  // clean
+      (0.0, 100.0, 0.05, "A", Option(ts)),   // quantity_range
+      (10.0, -5.0, 0.05, "N", Option(ts)),   // price_positive (and net>gross: a
+                                             // negative gross makes net exceed it)
+      (10.0, 100.0, -0.2, "R", Option(ts)),  // discount_range + net_not_above_gross
+      (10.0, 100.0, 0.05, "X", Option(ts)),  // returnflag_domain
+      (10.0, 100.0, 0.05, "A", None))        // shipdate_present
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    val r = DataQuality.validate(rows, DataQuality.lineitemRules).collect()
+      .map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_violations"), x.getAs[Long]("n_rows"))).toMap
+    assert(r.values.forall(_._2 == 6L))
+    assert(r("quantity_range")._1 == 1L)
+    assert(r("price_positive")._1 == 1L)
+    assert(r("discount_range")._1 == 1L)
+    assert(r("returnflag_domain")._1 == 1L)
+    assert(r("shipdate_present")._1 == 1L)
+    // the discount -0.2 row AND the negative-gross row both net above gross
+    assert(r("net_not_above_gross")._1 == 2L)
+  }
+
+  test("q93 evaluates every rule in ONE scan (single aggregate, no per-rule jobs)") {
+    val scans = run("q93_data_quality").queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(scans == 1, s"expected one lineitem scan for all rules, found $scans")
+  }
+
   test("q87 redactor on real-looking PII") {
     import spark.implicits._
     val docs = Seq(
