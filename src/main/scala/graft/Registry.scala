@@ -39,7 +39,11 @@ object Registry {
       graft.queries.Scd2.all ++
       graft.queries.Pii.all ++
       graft.queries.Compaction.all ++
-      graft.queries.DataQuality.all
+      graft.queries.DataQuality.all ++
+      graft.queries.Cdc.all ++
+      graft.queries.LmScore.all ++
+      graft.queries.Incremental.all ++
+      graft.queries.Retrieval.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** q96: incremental aggregate maintenance — the materialized-view
+  * refresh loop: a reporting view (per month × returnflag: row count,
+  * quantity sum/avg, price min/max) is maintained as MERGEABLE
+  * PARTIAL STATE (count, decimal sum, min, max — a commutative
+  * monoid), so a nightly refresh folds the day's delta partials into
+  * the stored base partials instead of rescanning history. The query
+  * computes partials over a disjoint base/delta split of `lineitem`
+  * (`l_orderkey % 10` ≠/= 9) and MERGES them; the oracle computes the
+  * same view in one full-scan aggregate — the merge must reproduce
+  * the rescan exactly, which is the entire incremental-ETL contract.
+  *
+  * Exactness across the two evaluation orders comes from the §6(a)
+  * decimal route: quantity sums ride `decimal(20,6)` partials (decimal
+  * addition is associative — partial-then-merge ≡ one-pass), counts
+  * are long sums, min/max are idempotent, and avg is derived ONCE at
+  * the end as decimal-sum-cast-double / count. Averages are NOT
+  * stored state — deriving them per-partial would break mergeability;
+  * that (plus exact distinct-counts, whose mergeable form is the HLL
+  * sketch tier, q25) is the design rule this query pins.
+  *
+  * Scale shape (100 TB fact): refresh cost ∝ |delta| + |view keys| —
+  * the delta's partial aggregate is map-side-combined, the merge
+  * exchange carries one row per touched view key, and the base
+  * partials are a parquet table read back, never the fact. CurationSpec
+  * round-trips the partial state through parquet (the stored-state
+  * schema contract, decimals included) and pins merged ≡ full.
+  */
+object Incremental {
+
+  val q96 = Q.of(
+    "q96_incremental_agg",
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |  l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+      |    AS avg_qty,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { t =>
+    val li = t.lineitem
+    val merged = mergePartials(
+      partials(li.filter(col("l_orderkey") % 10 =!= 9)).unionAll(
+        partials(li.filter(col("l_orderkey") % 10 === 9))))
+    present(merged).orderBy("month", "l_returnflag")
+  }
+
+  /** One partition's (or one day's) mergeable partial state. */
+  def partials(li: DataFrame): DataFrame =
+    li.groupBy(
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("long").as("cnt"),
+        sum(col("l_quantity").cast("decimal(20,6)")).as("sq"),
+        min("l_extendedprice").as("mn"),
+        max("l_extendedprice").as("mx"))
+
+  /** Fold any number of partial frames (unioned) back into one state
+    * row per view key — the refresh step. Associativity of the state
+    * monoid means any grouping of deltas reaches the same state.
+    */
+  def mergePartials(p: DataFrame): DataFrame =
+    p.groupBy("month", "l_returnflag")
+      .agg(sum("cnt").cast("long").as("cnt"), sum("sq").as("sq"),
+        min("mn").as("mn"), max("mx").as("mx"))
+
+  /** Derive the presentation view from state (ratios LAST — §6(a)). */
+  def present(state: DataFrame): DataFrame =
+    state.select(col("month"), col("l_returnflag"),
+      col("cnt").as("n_rows"),
+      col("sq").cast("double").as("sum_qty"),
+      (col("sq").cast("double") / col("cnt")).as("avg_qty"),
+      col("mn").as("min_price"), col("mx").as("max_price"))
+
+  def all: Seq[Q] = Seq(q96)
+}

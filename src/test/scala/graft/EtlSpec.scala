@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.queries.{Cdc, Incremental}
+import graft.sources.PartitionedStore
+
+/** Behavioral + plan pins for the round-8 ETL maintenance pair:
+  * q94 (CDC changelog → snapshot) and q96 (incremental aggregate
+  * maintenance). The oracles prove cross-engine agreement on the
+  * derived fixtures; these pin the semantics on crafted logs the
+  * fixtures don't contain (resurrection, kill-after-upsert) and the
+  * two 100 TB contracts — the base side of the CDC apply rides a
+  * bucketed layout exchange-free, and partial aggregate state
+  * round-trips through parquet and merges associatively.
+  */
+class EtlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def craftedBase = Seq(
+    (1L, 10L, 100.0, "A"), // untouched
+    (2L, 20L, 200.0, "B"), // deleted at seq 2
+    (3L, 30L, 300.0, "C"), // deleted at 1, resurrected at 3
+    (4L, 40L, 400.0, "D")  // upserted at 1, deleted at 4
+  ).toDF("k", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  private def craftedLog = Seq(
+    (2, "D", 2L, None: Option[Long], None: Option[Double], None: Option[String]),
+    (1, "D", 3L, None: Option[Long], None: Option[Double], None: Option[String]),
+    (3, "U", 3L, Some(33L), Some(333.0), Some("C2")),
+    (1, "U", 4L, Some(44L), Some(444.0), Some("D2")),
+    (4, "D", 4L, None: Option[Long], None: Option[Double], None: Option[String]),
+    (2, "U", 9L, Some(99L), Some(999.0), Some("NEW"))
+  ).toDF("seq", "op", "k", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  test("q94 CDC apply: latest op wins — resurrection, kill-after-upsert, passthrough, insert") {
+    val out = Cdc.apply(craftedBase, craftedLog).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[String]("o_orderstatus"), r.getAs[Long]("version")))
+      .toMap
+    assert(out.keySet == Set(1L, 3L, 9L))          // 2 deleted, 4 killed after upsert
+    assert(out(1L) == ("A", 0L))                    // untouched passthrough, version 0
+    assert(out(3L) == ("C2", 3L))                   // delete@1 then upsert@3 resurrects
+    assert(out(9L) == ("NEW", 2L))                  // insert of a never-seen key
+  }
+
+  test("q94 CDC apply over a bucketed base: the 100 TB fact never shuffles") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val abcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    withConf(bcast, "-1") { withConf(abcast, "-1") {
+      val base = tables.orders
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      PartitionedStore.writeBucketed(base, "graft_cdc_base", 4, Seq("k"))
+      val bucketed = PartitionedStore.readBucketed(spark, "graft_cdc_base")
+      val log = craftedLog
+      val out = Cdc.apply(bucketed, log)
+      val plain = Cdc.apply(base, log)
+      assert(out.orderBy("o_orderkey").collect().toSeq ==
+        plain.orderBy("o_orderkey").collect().toSeq,
+        "bucketed apply changed the snapshot")
+      // every shuffle in the finalized plan sits on the LOG side: no
+      // exchange subtree contains the bucketed base scan
+      val offending = physicalNodes(out).collect {
+        case s: ShuffleExchangeExec
+            if s.collectLeaves().exists {
+              case f: FileSourceScanExec =>
+                f.relation.location.rootPaths.exists(_.toString.contains("graft_cdc_base"))
+              case _ => false
+            } => s
+      }
+      assert(offending.isEmpty,
+        s"CDC apply shuffled the bucketed base:\n${planOf(out)}")
+    } }
+  }
+
+  test("q96 partial state round-trips through parquet and merges associatively") {
+    val li = tables.lineitem
+    val full = Incremental.present(
+      Incremental.mergePartials(Incremental.partials(li)))
+      .orderBy("month", "l_returnflag").collect().toSeq
+
+    // three-way split, one branch persisted to parquet and read back —
+    // the stored-state schema contract (decimal sums included)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_state").toString
+    val p0 = Incremental.partials(li.filter(col("l_orderkey") % 3 === 0))
+    p0.write.mode("overwrite").parquet(s"$dir/state")
+    val stored = spark.read.parquet(s"$dir/state")
+    val merged = Incremental.present(Incremental.mergePartials(
+      stored.unionByName(
+        Incremental.partials(li.filter(col("l_orderkey") % 3 === 1)))
+        .unionByName(
+          Incremental.partials(li.filter(col("l_orderkey") % 3 === 2)))))
+      .orderBy("month", "l_returnflag").collect().toSeq
+    assert(merged == full,
+      "merged partials diverge from the full recompute")
+
+    // associativity: merging a pre-merged pair with the third delta
+    // reaches the same state as the flat merge
+    val pairFirst = Incremental.present(Incremental.mergePartials(
+      Incremental.mergePartials(
+        p0.unionByName(Incremental.partials(li.filter(col("l_orderkey") % 3 === 1))))
+        .unionByName(Incremental.partials(li.filter(col("l_orderkey") % 3 === 2)))))
+      .orderBy("month", "l_returnflag").collect().toSeq
+    assert(pairFirst == full, "partial-state merge is not associative")
+  }
+}
