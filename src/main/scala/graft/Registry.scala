@@ -43,7 +43,8 @@ object Registry {
       graft.queries.Cdc.all ++
       graft.queries.LmScore.all ++
       graft.queries.Incremental.all ++
-      graft.queries.Retrieval.all
+      graft.queries.Retrieval.all ++
+      graft.queries.ZOrder.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
