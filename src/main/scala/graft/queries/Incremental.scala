@@ -82,5 +82,49 @@ object Incremental {
       (col("sq").cast("double") / col("cnt")).as("avg_qty"),
       col("mn").as("min_price"), col("mx").as("max_price"))
 
-  def all: Seq[Q] = Seq(q96)
+  /** q100: the MERGEABLE DISTINCT-COUNT companion to q96 (*rows-only*
+    * — sketch surface, no SQL oracle): exact distinct counts are the
+    * one aggregate q96's state monoid cannot carry (merging per-delta
+    * exact distincts over-counts keys seen in two deltas), and the
+    * public-literature answer is the HLL SKETCH as partial state —
+    * binary, fixed-size (~KB at lgK 12), and union-mergeable with NO
+    * loss relative to sketching the union directly (register-wise
+    * max; Datasketches HLL, the engine behind Spark's
+    * `hll_sketch_agg`/`hll_union_agg`). The view stores one sketch
+    * per (month, returnflag) cell; refresh unions the delta's sketch
+    * in; estimates are read out at presentation.
+    *
+    * One honest caveat the spec MEASURES rather than hand-waves:
+    * union is register-wise max, so no STATE is lost — but
+    * Datasketches' single-pass sketch carries a HIP estimator that a
+    * union cannot (it is forfeited on merge), so the merged estimate
+    * differs slightly from the single-pass estimate of the same data
+    * (~1% here). EtlSpec pins all three contracts: merged within 3%
+    * of the direct sketch, both within 5% of exact countDistinct
+    * (lgK 12 RSE ≈ 1.6%), and the binary state round-trips through
+    * parquet EXACTLY (the stored-state schema contract, like q96's
+    * decimals).
+    */
+  val q100 = Q.rowsOnly("q100_hll_merge") { t =>
+    present100(mergeDistinct(distinctPartials(t.lineitem)))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-(month, returnflag) HLL sketch of distinct order keys — the
+    * stored distinct-count state. */
+  def distinctPartials(li: DataFrame): DataFrame =
+    li.groupBy(
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+
+  /** Union the stored sketches up to the report grain. */
+  def mergeDistinct(p: DataFrame): DataFrame =
+    p.groupBy("l_returnflag").agg(hll_union_agg(col("sk")).as("sk"))
+
+  def present100(merged: DataFrame): DataFrame =
+    merged.select(col("l_returnflag"),
+      hll_sketch_estimate(col("sk")).as("approx_distinct_orders"))
+
+  def all: Seq[Q] = Seq(q96, q100)
 }

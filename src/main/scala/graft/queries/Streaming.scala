@@ -182,5 +182,37 @@ object Streaming {
       .orderBy(col("lang"), col("verdict"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77, q90)
+  /** q99: the UNATTRIBUTED-outcome report in batch mode — the
+    * left-outer twin of q76/q77 ([[EventStreams.unattributedWithin]]):
+    * one row per purchase with its qualifying-view count, INCLUDING
+    * the zero-touch conversions the inner joins drop — the funnel-gap
+    * monitor. `count(imp_id)` over the null-padded outer rows makes
+    * "no touch" an explicit 0; `last_touch_us` stays NULL there (not
+    * a sort key — §6(f) doesn't bite). StreamingSpec proves the
+    * chained outer-join → aggregate stream emits exactly the closed
+    * outcomes; the oracle checks the batch twin row-exactly.
+    */
+  val q99 = Q.of(
+    "q99_stream_unattributed",
+    """SELECT user_id, out_id, out_us, n_touches, last_touch_us FROM (
+      |  SELECT o.user_id, o.event_id AS out_id, epoch_us(o.ts) AS out_us,
+      |    CAST(count(i.event_id) AS BIGINT) AS n_touches,
+      |    max(epoch_us(i.ts)) AS last_touch_us
+      |  FROM events o LEFT JOIN events i ON i.user_id = o.user_id
+      |   AND i.event_type = 'view'
+      |   AND epoch_us(o.ts) > epoch_us(i.ts)
+      |   AND epoch_us(o.ts) - epoch_us(i.ts) <= 86400000000
+      |  WHERE o.event_type = 'purchase'
+      |  GROUP BY o.user_id, o.event_id, epoch_us(o.ts)
+      |)
+      |ORDER BY user_id, out_id""".stripMargin) { t =>
+    val events = t.events
+    EventStreams.unattributedWithin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .orderBy(col("user_id"), col("out_id"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77, q90, q99)
 }

@@ -200,6 +200,53 @@ object EventStreams {
         col("out_us"),
         (col("out_us") - col("touch.imp_us")).as("delay_us"))
 
+  /** UNATTRIBUTED-outcome report (SURVEY §2 q99): every outcome with
+    * its count of qualifying impressions — INCLUDING ZERO. The
+    * LEFT-OUTER stream-stream interval join is the only member of the
+    * join matrix that can say "this conversion had NO touch" (the
+    * inner forms q76/q77 silently drop exactly the rows a funnel-gap
+    * monitor exists to find); its null-padded rows emit only once the
+    * watermark proves no matching impression can still arrive — the
+    * lateness bound is what makes "nothing matched" a statement
+    * instead of a race.
+    *
+    * Streaming form chains the outer join into the same windowed
+    * aggregate shape as [[lastTouchWithin]] (two stateful operators on
+    * the propagated watermark; `count(imp_id)` skips the null-padded
+    * row, so an untouched outcome reports 0). State per side is
+    * arrival-rate × (watermark + window) exactly as q76; output is one
+    * row per outcome (the q77 hot-key bound) whatever the impression
+    * rate. On batch frames the watermarks are eliminated and the plan
+    * is a plain left-outer interval join + per-outcome aggregate — the
+    * q99 oracle path.
+    */
+  def unattributedWithin(impressions: DataFrame, outcomes: DataFrame,
+      maxDelaySeconds: Long,
+      impWatermarkDelay: String = "1 hour",
+      outWatermarkDelay: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", impWatermarkDelay)
+      .select(col("user_id").as("graft_imp_user"),
+        col("event_id").as("imp_id"), col("ts").as("imp_ts"))
+    val out = outcomes
+      .withWatermark("ts", outWatermarkDelay)
+      .select(col("user_id"), col("event_id").as("out_id"),
+        col("ts").as("out_ts"))
+    out.join(imp,
+        col("user_id") === col("graft_imp_user") &&
+          col("out_ts") > col("imp_ts") &&
+          col("out_ts") <= col("imp_ts") +
+            expr(s"INTERVAL $maxDelaySeconds SECOND"),
+        "left_outer")
+      .groupBy(window(col("out_ts"), "1 hour"), col("user_id"), col("out_id"))
+      .agg(
+        max(unix_micros(col("out_ts"))).as("out_us"),
+        count(col("imp_id")).as("n_touches"),
+        max(unix_micros(col("imp_ts"))).as("last_touch_us"))
+      .select(col("user_id"), col("out_id"), col("out_us"),
+        col("n_touches"), col("last_touch_us"))
+  }
+
   /** Streaming corpus curation (SURVEY §2 q90): the round-8 curation
     * tier applied to an INGEST STREAM — every arriving document is
     * PII-scrubbed ([[graft.queries.Pii.redactText]]) and

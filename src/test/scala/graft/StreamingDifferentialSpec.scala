@@ -206,6 +206,70 @@ class StreamingDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("unattributedWithin over random two-stream splits equals batch left-outer (3 seeds)") {
+    for (seed <- Seq(151, 152, 153)) {
+      val rnd = new Random(seed)
+      val dayUs = 24L * 3600L * 1000000L
+      var id = 0L
+      def gen(n: Int): Seq[GraftEvent] = (for {
+        u <- 1L to 4L
+        _ <- 1 to n
+      } yield {
+        id += 1
+        GraftEvent(u, id, dayUs + rnd.nextInt(2 * 24 * 6).toLong * 600L * 1000000L)
+      }).sortBy(e => (e.ts_us, e.event_id))
+      // sparse views so a material fraction of outcomes has ZERO
+      // qualifying impressions — the rows only the outer join reports
+      val views = gen(4)
+      val buys = gen(30)
+      val flushUs = dayUs * 40
+      val flushV = (1L to 4L).map { u => id += 1; GraftEvent(u, id, flushUs) }
+      val flushB = (1L to 4L).map { u => id += 1; GraftEvent(u, id, flushUs) }
+
+      def toFrame(evs: Seq[GraftEvent]) = evs.toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      val expect = EventStreams.unattributedWithin(
+        toFrame(views ++ flushV), toFrame(buys ++ flushB), maxDelaySeconds = 3L * 3600L)
+        .collect().map(key).filter(_._3 < flushUs).toSet
+      assert(expect.exists(_._4 == 0L),
+        s"seed $seed fixture produced no zero-touch outcome — weaken views further")
+
+      val vIn = MemoryStream[GraftEvent](spark)
+      val bIn = MemoryStream[GraftEvent](spark)
+      def stream(in: MemoryStream[GraftEvent]) = in.toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val q = EventStreams.unattributedWithin(
+        stream(vIn), stream(bIn), maxDelaySeconds = 3L * 3600L,
+        impWatermarkDelay = "1 minute", outWatermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName(s"uadiff$seed")
+        .outputMode("append").start()
+      try {
+        var restV = views ++ flushV
+        var restB = buys ++ flushB
+        while (restV.nonEmpty || restB.nonEmpty) {
+          if (restV.nonEmpty && (restB.isEmpty || rnd.nextBoolean())) {
+            val (batch, tail) = restV.splitAt(1 + rnd.nextInt(25))
+            vIn.addData(batch); restV = tail
+          } else {
+            val (batch, tail) = restB.splitAt(1 + rnd.nextInt(25))
+            bIn.addData(batch); restB = tail
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val emitted = spark.table(s"uadiff$seed").collect().map(key).filter(_._3 < flushUs)
+      assert(emitted.length == emitted.toSet.size, s"outcome emitted twice at seed $seed")
+      assert(emitted.toSet == expect,
+        s"stream/batch mismatch at seed $seed: extra=${(emitted.toSet -- expect).take(5)} " +
+          s"missing=${(expect -- emitted.toSet).take(5)}")
+    }
+  }
+
   test("streaming dedup over random batch splits keeps exactly the batch survivors") {
     val rnd = new Random(124)
     // duplicate-heavy corpus fed in doc_id order: first arrival per

@@ -243,6 +243,43 @@ class StreamingSpec extends SparkSpec {
       s"closed outcomes missing from append output: ${(mustEmit -- emitted.toSet).take(5)}")
   }
 
+  test("q99: left-outer attribution stream reports zero-touch outcomes exactly once") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .transform(Tables.normalizeTs)
+    val q = EventStreams.unattributedWithin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 86400L)
+      .writeStream.format("memory").queryName("q99mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    val emitted = spark.table("q99mem").collect().map(key)
+    val batchRows = run("q99_stream_unattributed").collect().map(key)
+    val batch = batchRows.toSet
+    assert(batchRows.exists(_._4 == 0L),
+      "fixture must contain zero-touch outcomes or the outer join is untested")
+    assert(emitted.length == emitted.toSet.size, "stream emitted an outcome twice")
+    assert(emitted.toSet.subsetOf(batch),
+      s"stream emitted rows batch never produced: ${(emitted.toSet -- batch).take(3)}")
+    // same pessimistic horizon as q77: join delay + watermark + window
+    val maxOutUs = batchRows.map(_._3).max
+    val horizonUs = maxOutUs - (86400L + 3600L + 3600L) * 1000000L
+    val mustEmit = batch.filter(_._3 < horizonUs)
+    assert(mustEmit.subsetOf(emitted.toSet),
+      s"closed outcomes missing from append output: ${(mustEmit -- emitted.toSet).take(5)}")
+    // zero-touch rows themselves must be emittable through the outer
+    // join: at least one closed outcome with n_touches == 0 appears
+    if (mustEmit.exists(_._4 == 0L))
+      assert(emitted.toSet.exists(_._4 == 0L),
+        "no zero-touch outcome ever emitted — outer-join nulls not flowing")
+  }
+
   test("attributeWithin boundary semantics: strict lower, inclusive upper, same user") {
     import spark.implicits._
     def frame(rows: Seq[(Long, Long, Long)]) =
