@@ -44,7 +44,8 @@ object Registry {
       graft.queries.LmScore.all ++
       graft.queries.Incremental.all ++
       graft.queries.Retrieval.all ++
-      graft.queries.ZOrder.all
+      graft.queries.ZOrder.all ++
+      graft.queries.GapFill.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

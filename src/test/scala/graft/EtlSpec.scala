@@ -108,6 +108,31 @@ class EtlSpec extends SparkSpec {
     assert(pairFirst == full, "partial-state merge is not associative")
   }
 
+  test("q101 gap-fill: interior gaps carry the last value, leading gaps stay null") {
+    import graft.queries.GapFill
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val cells = Seq(
+      (1L, d("2024-01-01"), 10.0),
+      (1L, d("2024-03-01"), 20.0),
+      (2L, d("2024-02-01"), 5.0)
+    ).toDF("cohort", "month", "qty")
+    val out = GapFill.fill(cells, d("2024-01-01"), d("2024-04-01"))
+      .orderBy("cohort", "month").collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[java.sql.Date]("month").toString,
+        Option(r.getAs[java.lang.Double]("qty")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("qty_filled")).map(_.toDouble)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", Some(10.0), Some(10.0)),
+      (1L, "2024-02-01", None, Some(10.0)),       // interior gap: LOCF
+      (1L, "2024-03-01", Some(20.0), Some(20.0)), // observation resets
+      (1L, "2024-04-01", None, Some(20.0)),       // trailing gap: LOCF
+      (2L, "2024-01-01", None, None),             // leading gap: nothing to carry
+      (2L, "2024-02-01", Some(5.0), Some(5.0)),
+      (2L, "2024-03-01", None, Some(5.0)),
+      (2L, "2024-04-01", None, Some(5.0))))
+  }
+
   test("q100 HLL distinct-count state: register-max merge, 5% accuracy, parquet round-trip") {
     val li = tables.lineitem
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
