@@ -72,6 +72,46 @@ object MediaFixture {
     baos.toByteArray
   }
 
+  /** Patterned-image synthesis for the PERCEPTUAL-dedup gate (q102):
+    * each doc renders an 8×8 two-tone base pattern determined ONLY by
+    * its class (`doc_id % 17`) — cell c ∈ 0..63 is white iff
+    * `((c+1)·(k+3)) % 17 % 2 = 1` — blown up to 16×16 or 32×32 by
+    * `doc_id % 2` and encoded as a REAL PNG by the JDK. Same class ⇒
+    * pixel-identical CONTENT at different resolutions and different
+    * payload bytes — exactly the shape a byte-hash dedup misses and a
+    * perceptual hash must catch. Class 14 is all-black ((k+3) ≡ 0
+    * mod 17); all-white is impossible (cells 16/33/50 have
+    * (c+1) ≡ 0 mod 17 ⇒ black for every class), so the average-hash
+    * threshold never degenerates.
+    */
+  def synthesizePatterned(docs: DataFrame, idCol: String): DataFrame = {
+    val slim = docs.select(col(idCol).cast("long"))
+    import slim.sparkSession.implicits._
+    slim.as[Long].mapPartitions(_.map(id =>
+      MediaRow(id, "png", encodePattern(id)))).toDF()
+  }
+
+  private def encodePattern(id: Long): Array[Byte] = {
+    val k = (id % 17).toInt
+    val scale = if (id % 2 == 0) 2 else 4
+    val dim = 8 * scale
+    val img = new BufferedImage(dim, dim, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dim) {
+      var x = 0
+      while (x < dim) {
+        val c = (y / scale) * 8 + (x / scale)
+        val white = ((c + 1) * (k + 3)) % 17 % 2 == 1
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   private def encodeWav(id: Long): Array[Byte] = {
     val rate = (8000 + (id % 5) * 2000).toInt
     val frames = (100 + id % 50).toInt

@@ -30,6 +30,16 @@ final case class DecodedImage(doc_id: Long, ok: Boolean, width: Long, height: Lo
 final case class ResizedImage(doc_id: Long, ok: Boolean, out_width: Long,
     out_height: Long, n_bytes_in: Long, n_bytes_out: Long, checksum: String)
 
+/** One perceptually-hashed image row ([[Multimodal.aHashPngBatched]]):
+  * `ahash` is the 63-bit average-hash of the decoded raster (8×8
+  * nearest-neighbor thumbnail, per-cell channel mean thresholded by
+  * the global mean; bit 63 reserved so the value stays portable
+  * signed-BIGINT arithmetic cross-engine). `ok = false` rows carry
+  * through with hash 0 — total decode, same rule as images.
+  */
+final case class ImageHash(doc_id: Long, ok: Boolean, width: Long,
+    height: Long, ahash: Long)
+
 /** One really-decoded audio row ([[Multimodal.decodeWavBatched]]):
   * rate/channels from the RIFF header, duration and per-channel RMS
   * from the PCM frames. `ok = false` rows carry through — total
@@ -120,6 +130,7 @@ object Multimodal {
   implicit val decodedImgEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   implicit val resizedImgEnc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
   implicit val decodedAudEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+  implicit val imageHashEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
 
   /** Shared scaffold for every REAL batched codec stage: slim
     * (id, payload) projection, typed iterator, per-TASK setup via `mk`
@@ -275,6 +286,44 @@ object Multimodal {
   def decodePngBatched(df: DataFrame, idCol: String): Dataset[DecodedImage] =
     payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
       rasterRow(id, payload, PngCodec.decode(payload))
+    }
+
+  /** PERCEPTUAL average-hash over really-decoded PNG payloads — the
+    * multimodal twin of the text-dedup sketches (q41/q42): decode →
+    * 8×8 nearest-neighbor thumbnail → per-cell channel mean → bit =
+    * cell above the global mean → 63-bit hash. Content-level, so
+    * re-encodes and resolution changes that preserve the picture
+    * collapse to one hash while a byte/md5 dedup sees distinct
+    * payloads. Same batched scaffold as every codec stage: per-task
+    * setup, total decode, input partitioning preserved, no shuffle —
+    * the downstream dedup is a plain groupBy on the 8-byte hash
+    * exactly like q40's md5 shuffle, never a pairwise image compare.
+    */
+  def aHashPngBatched(df: DataFrame, idCol: String): Dataset[ImageHash] =
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      PngCodec.decode(payload) match {
+        case Some(img) =>
+          val g = PngCodec.resizeNearest(img, 8, 8)
+          val ch = g.channels
+          val v = new Array[Double](64)
+          var c = 0
+          while (c < 64) {
+            var s = 0
+            var i = 0
+            while (i < ch) { s += g.pixels(c * ch + i) & 0xff; i += 1 }
+            v(c) = s.toDouble / ch
+            c += 1
+          }
+          val mean = v.sum / 64.0
+          var hash = 0L
+          c = 0
+          while (c < 63) {
+            if (v(c) > mean) hash |= (1L << c)
+            c += 1
+          }
+          ImageHash(id, ok = true, img.width.toLong, img.height.toLong, hash)
+        case None => ImageHash(id, ok = false, 0L, 0L, 0L)
+      }
     }
 
   /** REAL batched resize for PNG payloads: decode → nearest-neighbor

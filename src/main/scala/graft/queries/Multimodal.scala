@@ -149,5 +149,53 @@ object Multimodal {
     png.union(jpg).union(wav)
   }
 
-  def all: Seq[Q] = Seq(q60, q61, q82)
+  /** q102: PERCEPTUAL image dedup over really-decoded rasters — the
+    * multimodal member of the dedup family (q40 exact bytes, q41/q42
+    * text sketches, q44 embeddings): every document renders a REAL
+    * JDK-encoded PNG whose CONTENT depends only on its class
+    * (`doc_id % 17`) while its resolution — and therefore its payload
+    * bytes — varies by `doc_id % 2` ([[graft.operators.MediaFixture
+    * .synthesizePatterned]]); the scratch-built PNG decoder +
+    * average-hash ([[graft.operators.Multimodal.aHashPngBatched]])
+    * must collapse each class to ONE hash cluster spanning both
+    * resolutions — the dedup a byte/md5 hash cannot do (every payload
+    * is distinct). The ORACLE recomputes each cluster arithmetically
+    * from `documents` alone: the average-hash of a two-tone pattern
+    * is the white-cell bit sum (threshold sits strictly between the
+    * tones; all-black class 14 hashes to 0 by the same formula both
+    * sides), so encoder, decoder, thumbnailer and hash are all
+    * INDEPENDENTLY re-derived on the DuckDB side. Downstream shape is
+    * q40's: one groupBy on an 8-byte hash, no pairwise image compare.
+    */
+  val q102 = Q.of(
+    "q102_image_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 17 AS k, doc_id % 2 AS s FROM documents
+      |), h AS (
+      |  SELECT k, CAST(sum(CASE WHEN ((g + 1) * (k + 3)) % 17 % 2 = 1
+      |      THEN CAST(1 AS BIGINT) << CAST(g AS INTEGER) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM (SELECT DISTINCT k FROM d), (SELECT unnest(range(0, 63)) AS g)
+      |  GROUP BY k
+      |)
+      |SELECT ahash,
+      |  CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(count(DISTINCT s) AS BIGINT) AS n_resolutions,
+      |  min(doc_id) AS rep
+      |FROM d JOIN h USING (k)
+      |GROUP BY ahash
+      |ORDER BY ahash""".stripMargin) { t =>
+    import graft.operators.MediaFixture
+    val media = MediaFixture.synthesizePatterned(
+      t.documents.select("doc_id"), "doc_id")
+    M.aHashPngBatched(media, "doc_id").toDF()
+      .filter(col("ok"))
+      .groupBy(col("ahash"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        countDistinct(col("width")).as("n_resolutions"),
+        min(col("doc_id")).as("rep"))
+      .orderBy(col("ahash"))
+  }
+
+  def all: Seq[Q] = Seq(q60, q61, q82, q102)
 }
