@@ -45,7 +45,8 @@ object Registry {
       graft.queries.Incremental.all ++
       graft.queries.Retrieval.all ++
       graft.queries.ZOrder.all ++
-      graft.queries.GapFill.all
+      graft.queries.GapFill.all ++
+      graft.queries.MultiQuery.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

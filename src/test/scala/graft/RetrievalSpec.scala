@@ -66,6 +66,27 @@ class RetrievalSpec extends SparkSpec {
       "same tf in a longer doc must score lower (b-normalization)")
   }
 
+  test("q103 query-table BM25: per-query ranking and term accounting on a crafted corpus") {
+    import graft.queries.MultiQuery
+    // doc 0 is the only query (maxQid 1): tokens 1/4/7 = alpha/beta/gamma
+    val docs = Seq(
+      (0L, "alpha x x beta y y gamma z"),
+      (10L, "alpha beta gamma pad pad pad pad pad"), // 3 terms
+      (11L, "alpha beta pad pad pad pad pad pad"),   // 2 terms
+      (12L, "alpha pad pad pad pad pad pad pad"),    // 1 term
+      (13L, "pad pad pad pad pad pad pad pad")       // no terms
+    ).toDF("doc_id", "text")
+    val out = MultiQuery.search(docs, maxQid = 1, k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    assert(!out.contains(13L), "doc matching no query term must not post")
+    assert(out(10L)._1 == 3L && out(11L)._1 == 2L && out(12L)._1 == 1L)
+    assert(out(10L)._2 > out(11L)._2 && out(11L)._2 > out(12L)._2,
+      "equal-length docs must rank by matched-term count")
+    assert(out(0L)._2 == out(10L)._2,
+      "identical tf/dl profiles must quantize to identical scores")
+  }
+
   test("q95/q97 scoring plans never hash-shuffle the corpus") {
     // q97: the only exchanges are the one-row stats reduction — every
     // shuffle in the plan is a single-partition gather, never a
