@@ -407,4 +407,23 @@ class ScaleSpec extends SparkSpec {
     assert(fpDocs <= math.max(10L, corpusDocs / 50),
       s"$fpDocs falsely flagged of $corpusDocs — FP calibration drifted at the decade")
   }
+
+  test("round-8 bounded-output contracts: view-grain queries don't grow with the fact") {
+    // These outputs are bounded by their GRAIN (dense calendar grid,
+    // pattern classes, top-k cut, quality-rule count), so a 10x fact
+    // must not move the row count — the property that makes each of
+    // them safe to materialize at 100 TB.
+    def rows(name: String, dir: String): Long =
+      Registry.byName(name).run(spark, dir).count()
+    for ((name, expect) <- Seq(
+        "q101_gapfill" -> -1L,            // cohorts x observed months
+        "q102_image_dedup" -> 17L,        // pattern classes
+        "q97_bm25" -> 100L,               // top-k cut
+        "q93_data_quality" -> 6L)) {      // rules + base rows
+      val a = rows(name, "/root/testdata/sf0.001")
+      val b = rows(name, "/root/testdata/sf0.01")
+      assert(a == b, s"$name: $a rows at sf0.001 vs $b at sf0.01 — output tracks the fact")
+      if (expect >= 0) assert(a == expect, s"$name: expected $expect rows, got $a")
+    }
+  }
 }
