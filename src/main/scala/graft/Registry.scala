@@ -46,7 +46,11 @@ object Registry {
       graft.queries.Retrieval.all ++
       graft.queries.ZOrder.all ++
       graft.queries.GapFill.all ++
-      graft.queries.MultiQuery.all
+      graft.queries.MultiQuery.all ++
+      graft.queries.SetOps.all ++
+      graft.queries.Profile.all ++
+      graft.queries.Json.all ++
+      graft.queries.Pit.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

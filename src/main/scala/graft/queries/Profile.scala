@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** q106: one-scan COLUMN PROFILING — the `ANALYZE TABLE` / data-
+  * catalog statistics pass every ETL platform runs on a freshly
+  * landed table: per-column null count, exact distinct cardinality,
+  * min and max, plus the table row base, reported long-form as one
+  * row per column.
+  *
+  * Scale shape: ALL columns profile in ONE scan — every metric is an
+  * aggregate over the same pass (q93's contract, pinned the same
+  * way: exactly one FileSourceScanExec in the plan). The multi-column
+  * exact `count_distinct` set plans as a single Expand + aggregate
+  * (one pass over the data, k-way row multiplication in the
+  * aggregate's input — the classic trade; at 100 TB the documented
+  * swap is `approx_count_distinct`, the q25 HLL tier, which removes
+  * the Expand entirely while keeping the one-scan shape). Min/max are
+  * emitted as strings so heterogeneous column types share one report
+  * schema — only string-stable types are profiled (integers, dates,
+  * strings; doubles are excluded because float→string formatting is
+  * not cross-engine-stable, the q68 rule).
+  *
+  * The oracle takes the naive one-subquery-per-column form — two
+  * structurally different evaluations on the two sides of the hash
+  * compare (the q93 pattern).
+  */
+object Profile {
+
+  /** One profiled column: report name + the (already cast-stable)
+    * column expression.
+    */
+  final case class ColSpec(name: String, expr: Column)
+
+  /** One-scan profile: per spec — nulls, exact distinct, min/max as
+    * strings — unpivoted to (col_name, n_nulls, n_distinct, min_str,
+    * max_str) rows plus the shared row base.
+    */
+  def profile(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+    val counters = count(lit(1)).as("graft_n_rows") +: specs.flatMap { s =>
+      Seq(
+        sum(when(s.expr.isNull, 1L).otherwise(0L)).as(s"graft_nu_${s.name}"),
+        count_distinct(s.expr).as(s"graft_d_${s.name}"),
+        min(s.expr).cast("string").as(s"graft_mn_${s.name}"),
+        max(s.expr).cast("string").as(s"graft_mx_${s.name}"))
+    }
+    val one = df.agg(counters.head, counters.tail: _*)
+    val stackArgs = specs.map(s =>
+      s"'${s.name}', graft_nu_${s.name}, graft_d_${s.name}, " +
+        s"graft_mn_${s.name}, graft_mx_${s.name}").mkString(", ")
+    one.select(
+      expr(s"stack(${specs.length}, $stackArgs) as " +
+        "(col_name, n_nulls, n_distinct, min_str, max_str)"),
+      col("graft_n_rows").as("n_rows"))
+  }
+
+  private def lineitemSpecs: Seq[ColSpec] = Seq(
+    ColSpec("l_orderkey", col("l_orderkey")),
+    ColSpec("l_suppkey", col("l_suppkey")),
+    ColSpec("l_returnflag", col("l_returnflag")),
+    ColSpec("l_shipdate", col("l_shipdate").cast("date")))
+
+  val q106 = Q.of(
+    "q106_column_profile",
+    """WITH base AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+      |SELECT p.col_name, p.n_nulls, p.n_distinct, p.min_str, p.max_str,
+      |  base.n_rows
+      |FROM (
+      |  SELECT 'l_orderkey' AS col_name,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_nulls,
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_distinct,
+      |    (SELECT CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem) AS min_str,
+      |    (SELECT CAST(MAX(l_orderkey) AS VARCHAR) FROM lineitem) AS max_str
+      |  UNION ALL SELECT 'l_suppkey',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+      |    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+      |    (SELECT CAST(MIN(l_suppkey) AS VARCHAR) FROM lineitem),
+      |    (SELECT CAST(MAX(l_suppkey) AS VARCHAR) FROM lineitem)
+      |  UNION ALL SELECT 'l_returnflag',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL),
+      |    (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem),
+      |    (SELECT MIN(l_returnflag) FROM lineitem),
+      |    (SELECT MAX(l_returnflag) FROM lineitem)
+      |  UNION ALL SELECT 'l_shipdate',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL),
+      |    (SELECT COUNT(DISTINCT CAST(l_shipdate AS DATE)) FROM lineitem),
+      |    (SELECT CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem),
+      |    (SELECT CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem)
+      |) p, base
+      |ORDER BY col_name""".stripMargin) { t =>
+    profile(t.lineitem, lineitemSpecs).orderBy(col("col_name"))
+  }
+
+  /** q109: EXACT distributed quantiles + IQR outlier fences over
+    * DISTINCT-VALUE-COMPRESSED cells — the scale answer to the
+    * sorted-array percentile (q10/q58 collect a per-group array:
+    * exact, but the array is GROUP-sized; `approx_percentile` (q10b)
+    * is one-pass but approximate). For a bounded-domain metric
+    * (integer-valued scores, counts, bucketed amounts — here
+    * `floor(value)` over events), the exact answer needs only the
+    * (group, value, count) CELL frame: |domain| rows per group
+    * regardless of fact size, so a 100 TB fact compresses to a few
+    * hundred cells per group before anything is sorted.
+    *
+    * Mechanics: one hash aggregate to cells (the only fact-sized
+    * exchange), a keyed cumulative-count window over the cell frame
+    * (tiny), then quantile_cont semantics by integer arithmetic: for
+    * p = k/4 the 0-indexed rank is r4 = k·(n−1) QUARTERS, the
+    * bracketing values are the cells whose cumulative range covers
+    * r4 div 4 and r4 div 4 + 1, and the interpolation weight is
+    * (r4 mod 4)/4 — an exact binary fraction, so every interpolated
+    * quantile, fence, and comparison below is EXACT in IEEE double
+    * and the oracle can use DuckDB's native `quantile_cont`
+    * evaluation (engine-native on both sides, no mirrored formula).
+    * Outlier counting folds over the per-group cell array collected
+    * in the SAME aggregate — bounded by the value domain, never the
+    * fact (the Lloyd/PrefixSum bounded-state budget class, but
+    * executor-side).
+    */
+  val q109 = Q.of(
+    "q109_quantile_compressed",
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS val
+      |  FROM events WHERE value IS NOT NULL
+      |), q AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    quantile_cont(val, 0.25) AS q1,
+      |    quantile_cont(val, 0.5) AS median,
+      |    quantile_cont(val, 0.75) AS q3
+      |  FROM v GROUP BY event_type
+      |)
+      |SELECT event_type, n, q1, median, q3,
+      |  q1 - 1.5 * (q3 - q1) AS lo_fence,
+      |  q3 + 1.5 * (q3 - q1) AS hi_fence,
+      |  (SELECT COUNT(*) FROM v
+      |   WHERE v.event_type = q.event_type
+      |     AND (val < q1 - 1.5 * (q3 - q1) OR val > q3 + 1.5 * (q3 - q1)))
+      |    AS n_outliers
+      |FROM q
+      |ORDER BY event_type""".stripMargin) { t =>
+    quantileFences(
+      t.events.filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value")).cast("long").as("val")),
+      "event_type", "val")
+      .orderBy(col("event_type"))
+  }
+
+  /** Exact p25/p50/p75 + IQR fences + outlier counts per `groupCol`
+    * over bounded-domain long `valCol` — see q109. Factored so the
+    * spec can pin hand-computable distributions and the fence
+    * counter on crafted skew.
+    */
+  def quantileFences(v: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = v.groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    var cum = cells
+      .withColumn("cum_end", sum(col("cnt")).over(wOrd))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    for (k <- 1 to 3) {
+      cum = cum
+        .withColumn(s"idx$k", expr(s"($k * (n - 1)) div 4"))
+        .withColumn(s"rem$k", expr(s"($k * (n - 1)) % 4"))
+    }
+    def bracket(k: Int): Seq[Column] = Seq(
+      max(when(col("cum_start") <= col(s"idx$k") && col(s"idx$k") < col("cum_end"),
+        col(valCol))).as(s"lo$k"),
+      max(when(col("cum_start") <= col(s"idx$k") + 1 && col(s"idx$k") + 1 < col("cum_end"),
+        col(valCol))).as(s"hi$k"),
+      max(col(s"rem$k")).as(s"rm$k"))
+    val aggd = cum.groupBy(col(groupCol)).agg(
+      max(col("n")).as("n"),
+      (bracket(1) ++ bracket(2) ++ bracket(3) :+
+        collect_list(struct(col(valCol).as("v"), col("cnt").as("c"))).as("graft_cells")): _*)
+    // rem == 0 → the quantile IS lo (hi may not exist when the rank
+    // is the group's last index — the n < 5 fixture edge)
+    def interp(k: Int): Column = when(col(s"rm$k") === 0, col(s"lo$k").cast("double"))
+      .otherwise(col(s"lo$k").cast("double") +
+        (col(s"hi$k") - col(s"lo$k")).cast("double") * (col(s"rm$k").cast("double") / 4.0))
+    val scored = aggd
+      .withColumn("q1", interp(1))
+      .withColumn("median", interp(2))
+      .withColumn("q3", interp(3))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    scored.select(col(groupCol), col("n"), col("q1"), col("median"), col("q3"),
+      col("lo_fence"), col("hi_fence"),
+      aggregate(col("graft_cells"), lit(0L),
+        (acc, c) => acc + when(
+          c.getField("v").cast("double") < col("lo_fence") ||
+            c.getField("v").cast("double") > col("hi_fence"),
+          c.getField("c")).otherwise(0L)).as("n_outliers"))
+  }
+
+  def all: Seq[Q] = Seq(q106, q109)
+}

@@ -65,12 +65,19 @@ object Scd2 {
       |  FROM j WHERE dk IS NULL
       |)
       |ORDER BY c_custkey, valid_from""".stripMargin) { t =>
-    val cust = t.customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    mergedDim(t.customer).orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** The full post-merge history table (q86's output, unsorted) —
+    * factored so q108's point-in-time lookup can consume the SCD2
+    * result as its dimension side.
+    */
+  def mergedDim(customer: DataFrame): DataFrame = {
+    val cust = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
     val dim = cust
       .select(col("c_custkey").as("dk"), col("c_acctbal").as("da"),
         col("c_mktsegment").as("ds"))
     merge(dim, updatesBatch(cust))
-      .orderBy(col("c_custkey"), col("valid_from"))
   }
 
   /** The SCD2 merge itself over (dk, da, ds) × (uk, ua, us) — factored
