@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.Q
 
 /** q107: SEMI-STRUCTURED column extraction — the events table's
   * `props` column is a JSON payload (the shape every product
@@ -33,7 +33,7 @@ object Json {
   /** Parse + rollup, factored for the spec's malformed fixtures. */
   def propsRollup(events: DataFrame): DataFrame = {
     val parsed = events
-      .withColumn("graft_p", from_json(col("props"), "k BIGINT"))
+      .withColumn("graft_p", from_json(col("props"), lit("k BIGINT")))
       .withColumn("k", col("graft_p.k"))
     parsed
       .groupBy(col("event_type"),
@@ -60,7 +60,7 @@ object Json {
       |  COUNT(DISTINCT user_id) AS n_users,
       |  MIN(k) AS min_k,
       |  MAX(k) AS max_k,
-      |  SUM(CASE WHEN props IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END) AS n_bad
+      |  CAST(SUM(CASE WHEN props IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
       |FROM parsed
       |GROUP BY 1, 2
       |ORDER BY event_type, k_bucket""".stripMargin) { t =>

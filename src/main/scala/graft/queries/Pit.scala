@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.Q
 import graft.functions.det.dsum
 import graft.operators.AsofJoin
 

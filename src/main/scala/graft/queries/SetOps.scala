@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.Q
 import graft.functions.det.dsum
 
 /** q104/q105: the two ANSI relational surfaces the registry did not
