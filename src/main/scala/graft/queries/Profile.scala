@@ -35,15 +35,21 @@ object Profile {
     */
   final case class ColSpec(name: String, expr: Column)
 
-  /** One-scan profile: per spec — nulls, exact distinct, min/max as
+  /** One-scan profile: per spec — nulls, distinct, min/max as
     * strings — unpivoted to (col_name, n_nulls, n_distinct, min_str,
-    * max_str) rows plus the shared row base.
+    * max_str) rows plus the shared row base. `exact = false` swaps
+    * the multi-column exact `count_distinct` (one Expand, k-way row
+    * multiplication into the aggregate) for `approx_count_distinct`
+    * (the q25 HLL tier): Expand-free, still one scan — the 100 TB
+    * default, pinned plan-shape-for-plan-shape in ProfilingSpec.
     */
-  def profile(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+  def profile(df: DataFrame, specs: Seq[ColSpec], exact: Boolean = true): DataFrame = {
+    def distinctOf(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c)
     val counters = count(lit(1)).as("graft_n_rows") +: specs.flatMap { s =>
       Seq(
         sum(when(s.expr.isNull, 1L).otherwise(0L)).as(s"graft_nu_${s.name}"),
-        count_distinct(s.expr).as(s"graft_d_${s.name}"),
+        distinctOf(s.expr).as(s"graft_d_${s.name}"),
         min(s.expr).cast("string").as(s"graft_mn_${s.name}"),
         max(s.expr).cast("string").as(s"graft_mx_${s.name}"))
     }
@@ -115,10 +121,14 @@ object Profile {
     * quantile, fence, and comparison below is EXACT in IEEE double
     * and the oracle can use DuckDB's native `quantile_cont`
     * evaluation (engine-native on both sides, no mirrored formula).
-    * Outlier counting folds over the per-group cell array collected
-    * in the SAME aggregate — bounded by the value domain, never the
-    * fact (the Lloyd/PrefixSum bounded-state budget class, but
-    * executor-side).
+    * Outlier counting is a SECOND conditional aggregate over the same
+    * cell frame with the one-row-per-group fence frame broadcast back
+    * onto it — no per-group array is ever materialized, so per-group
+    * state stays O(1) even when the value domain grows (the r8
+    * collect_list histogram was bounded only by a domain assumption;
+    * this shape needs none). The cells exchange is structurally
+    * identical in both branches, so ReuseExchange dedupes the
+    * fact-sized work to one scan + one partial aggregate.
     */
   val q109 = Q.of(
     "q109_quantile_compressed",
@@ -176,26 +186,33 @@ object Profile {
       max(col(s"rem$k")).as(s"rm$k"))
     val aggd = cum.groupBy(col(groupCol)).agg(
       max(col("n")).as("n"),
-      (bracket(1) ++ bracket(2) ++ bracket(3) :+
-        collect_list(struct(col(valCol).as("v"), col("cnt").as("c"))).as("graft_cells")): _*)
+      (bracket(1) ++ bracket(2) ++ bracket(3)): _*)
     // rem == 0 → the quantile IS lo (hi may not exist when the rank
     // is the group's last index — the n < 5 fixture edge)
     def interp(k: Int): Column = when(col(s"rm$k") === 0, col(s"lo$k").cast("double"))
       .otherwise(col(s"lo$k").cast("double") +
         (col(s"hi$k") - col(s"lo$k")).cast("double") * (col(s"rm$k").cast("double") / 4.0))
-    val scored = aggd
+    val fences = aggd
       .withColumn("q1", interp(1))
       .withColumn("median", interp(2))
       .withColumn("q3", interp(3))
       .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-    scored.select(col(groupCol), col("n"), col("q1"), col("median"), col("q3"),
-      col("lo_fence"), col("hi_fence"),
-      aggregate(col("graft_cells"), lit(0L),
-        (acc, c) => acc + when(
-          c.getField("v").cast("double") < col("lo_fence") ||
-            c.getField("v").cast("double") > col("hi_fence"),
-          c.getField("c")).otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("q1"), col("median"), col("q3"),
+        col("lo_fence"), col("hi_fence"))
+    // One row per group → broadcast back onto the cell frame; the
+    // outlier count is a conditional re-aggregation, never an array.
+    val outliers = cells
+      .join(broadcast(fences.select(col(groupCol), col("lo_fence"), col("hi_fence"))),
+        Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(when(
+        col(valCol).cast("double") < col("lo_fence") ||
+          col(valCol).cast("double") > col("hi_fence"),
+        col("cnt")).otherwise(0L)).as("n_outliers"))
+    fences.join(outliers, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("q1"), col("median"), col("q3"),
+        col("lo_fence"), col("hi_fence"), col("n_outliers"))
   }
 
   def all: Seq[Q] = Seq(q106, q109)
