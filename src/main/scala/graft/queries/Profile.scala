@@ -13,16 +13,26 @@ import graft.Q
   *
   * Scale shape: ALL columns profile in ONE scan — every metric is an
   * aggregate over the same pass (q93's contract, pinned the same
-  * way: exactly one FileSourceScanExec in the plan). The multi-column
-  * exact `count_distinct` set plans as a single Expand + aggregate
-  * (one pass over the data, k-way row multiplication in the
-  * aggregate's input — the classic trade; at 100 TB the documented
-  * swap is `approx_count_distinct`, the q25 HLL tier, which removes
-  * the Expand entirely while keeping the one-scan shape). Min/max are
-  * emitted as strings so heterogeneous column types share one report
-  * schema — only string-stable types are profiled (integers, dates,
-  * strings; doubles are excluded because float→string formatting is
-  * not cross-engine-stable, the q68 rule).
+  * way: exactly one FileSourceScanExec in the plan). The exact form
+  * does NOT hand multi-column `count_distinct` to Catalyst's
+  * rewrite: that plans Expand + an aggregate that also carries the
+  * string min/max — and a string aggregation buffer is not
+  * UnsafeRow-mutable, so the whole k×-expanded fact falls back to
+  * SortAggregate and gets FULLY SORTED (measured 6.9 s vs 0.6 s at
+  * sf0.1; at 100 TB it's a sort of 5× the table). Instead the fact is
+  * stacked to (gid, typed value) rows and hash-reduced to the
+  * per-column distinct-value CELL frame first — the count-only buffer
+  * keeps the fact-sized stage a codegen'd HashAggregate — and every
+  * metric (distinct = non-null cells, nulls/rows = cnt sums, typed
+  * min/max) folds over cells in a global aggregate whose string
+  * buffers cost nothing (no grouping keys → no sort, tiny input).
+  * At 100 TB the documented swap is `approx_count_distinct`, the q25
+  * HLL tier (`exact = false`): no row multiplication at all, one
+  * direct fold over the fact. Min/max are emitted as strings so
+  * heterogeneous column types share one report schema — only
+  * string-stable types are profiled (integers, dates, strings;
+  * doubles are excluded because float→string formatting is not
+  * cross-engine-stable, the q68 rule).
   *
   * The oracle takes the naive one-subquery-per-column form — two
   * structurally different evaluations on the two sides of the hash
@@ -44,16 +54,7 @@ object Profile {
     * default, pinned plan-shape-for-plan-shape in ProfilingSpec.
     */
   def profile(df: DataFrame, specs: Seq[ColSpec], exact: Boolean = true): DataFrame = {
-    def distinctOf(c: Column): Column =
-      if (exact) count_distinct(c) else approx_count_distinct(c)
-    val counters = count(lit(1)).as("graft_n_rows") +: specs.flatMap { s =>
-      Seq(
-        sum(when(s.expr.isNull, 1L).otherwise(0L)).as(s"graft_nu_${s.name}"),
-        distinctOf(s.expr).as(s"graft_d_${s.name}"),
-        min(s.expr).cast("string").as(s"graft_mn_${s.name}"),
-        max(s.expr).cast("string").as(s"graft_mx_${s.name}"))
-    }
-    val one = df.agg(counters.head, counters.tail: _*)
+    val one = if (exact) exactCounters(df, specs) else approxCounters(df, specs)
     val stackArgs = specs.map(s =>
       s"'${s.name}', graft_nu_${s.name}, graft_d_${s.name}, " +
         s"graft_mn_${s.name}, graft_mx_${s.name}").mkString(", ")
@@ -61,6 +62,58 @@ object Profile {
       expr(s"stack(${specs.length}, $stackArgs) as " +
         "(col_name, n_nulls, n_distinct, min_str, max_str)"),
       col("graft_n_rows").as("n_rows"))
+  }
+
+  /** Exact metrics via the distinct-value cell frame (see Scaladoc):
+    * fact → stack to one (gid, typed value) row per profiled column →
+    * hash-reduce to (gid, value, cnt) cells (count-only buffer, stays
+    * HashAggregate) → global fold where the string min/max buffers
+    * see only the compressed frame.
+    */
+  private def exactCounters(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+    // stack row i: (gid=i, null, …, specs(i).expr, …, null) — typed
+    // nulls via when(false, e) so each output column keeps its type
+    val stackArgs = specs.zipWithIndex.flatMap { case (_, i) =>
+      lit(i) +: specs.zipWithIndex.map { case (s, j) =>
+        if (i == j) s.expr else when(lit(false), s.expr)
+      }
+    }
+    val valNames = specs.indices.map(i => s"graft_v$i")
+    val gidded = df.select(
+      stack((lit(specs.length) +: stackArgs): _*).as("graft_gid" +: valNames))
+    val cells = gidded
+      .groupBy((col("graft_gid") +: valNames.map(col)): _*)
+      .agg(count(lit(1)).as("graft_cnt"))
+    val counters =
+      coalesce(sum(when(col("graft_gid") === 0, col("graft_cnt"))), lit(0L))
+        .as("graft_n_rows") +:
+      specs.zipWithIndex.flatMap { case (s, i) =>
+        val v = col(s"graft_v$i")
+        val mine = col("graft_gid") === i
+        Seq(
+          coalesce(sum(when(mine && v.isNull, col("graft_cnt"))), lit(0L))
+            .as(s"graft_nu_${s.name}"),
+          coalesce(sum(when(mine && v.isNotNull, 1L)), lit(0L))
+            .as(s"graft_d_${s.name}"),
+          min(when(mine, v)).cast("string").as(s"graft_mn_${s.name}"),
+          max(when(mine, v)).cast("string").as(s"graft_mx_${s.name}"))
+      }
+    cells.agg(counters.head, counters.tail: _*)
+  }
+
+  /** Approx metrics: one direct fold over the fact — HLL distinct
+    * buffers are fixed-width, the string min/max buffers ride a
+    * grouping-key-free aggregate (no sort), no row multiplication.
+    */
+  private def approxCounters(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+    val counters = count(lit(1)).as("graft_n_rows") +: specs.flatMap { s =>
+      Seq(
+        sum(when(s.expr.isNull, 1L).otherwise(0L)).as(s"graft_nu_${s.name}"),
+        approx_count_distinct(s.expr).as(s"graft_d_${s.name}"),
+        min(s.expr).cast("string").as(s"graft_mn_${s.name}"),
+        max(s.expr).cast("string").as(s"graft_mx_${s.name}"))
+    }
+    df.agg(counters.head, counters.tail: _*)
   }
 
   private def lineitemSpecs: Seq[ColSpec] = Seq(

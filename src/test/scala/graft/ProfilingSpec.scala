@@ -68,15 +68,27 @@ class ProfilingSpec extends SparkSpec {
 
   // ---- q106: one-scan column profile ----
 
-  test("q106 exact profile is one scan (Expand is the documented exact-distinct trade)") {
+  test("q106 exact profile: one scan, fact-sized stage stays a HashAggregate") {
+    // Catalyst's own multi-distinct rewrite would put the string
+    // min/max buffers on the expanded fact and fall back to a
+    // SortAggregate that fully sorts it (measured 6.9 s vs sub-second
+    // at sf0.1) — the cell-frame shape must keep every aggregate that
+    // touches the scan hash-based; string buffers may only appear in
+    // the keyless global fold over the compressed cells
     val df = run("q106_column_profile")
     df.collect()
-    val scans = physicalNodes(df).collect {
+    val nodes = physicalNodes(df)
+    val scans = nodes.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.size == 1, s"q106 must profile every column in ONE scan, got ${scans.size}")
-    assert(planOf(df).contains("Expand"),
-      "exact multi-column count_distinct should plan via Expand (documented trade)")
+    assert(!planOf(df).contains("Expand"), "cell-frame shape must not use the Expand rewrite")
+    val sortAggsOnFact = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.collectLeaves().exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) => a
+    }
+    assert(sortAggsOnFact.isEmpty,
+      s"SortAggregate touches the fact scan — the k-expanded table would be sorted:\n${planOf(df)}")
   }
 
   test("q106 approx profile keeps one scan and drops the Expand") {

@@ -426,4 +426,29 @@ class ScaleSpec extends SparkSpec {
       if (expect >= 0) assert(a == expect, s"$name: expected $expect rows, got $a")
     }
   }
+
+  test("q109 cell compression: state bounded by the value domain, not the fact") {
+    // the (group, value, count) cell frame is q109's only fact-sized
+    // exchange; everything after it (window, fences, outlier re-agg)
+    // rides cells. The events value domain grows ~logarithmically with
+    // the fact (it's a bounded metric), so a 100x fact jump must
+    // compress to a few-x cell jump — measured 493 -> 1626 cells for
+    // 1k -> 100k rows at pin time — and the output stays group-grain.
+    def cellsOf(dir: String): (Long, Long) = {
+      val v = Tables(spark, dir).events.filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value")).cast("long").as("val"))
+      (v.count(), v.groupBy("event_type", "val").count().count())
+    }
+    val (f1, c1) = cellsOf("/root/testdata/sf0.001")
+    val (f2, c2) = cellsOf("/root/testdata/sf0.1")
+    val factRatio = f2.toDouble / f1
+    assert(factRatio >= 50.0, s"testdata shape changed; expected ~100x events jump, got $factRatio")
+    val cellRatio = c2.toDouble / c1
+    info(f"fact $f1 -> $f2 (${factRatio}%.0fx); cells $c1 -> $c2 (${cellRatio}%.1fx)")
+    assert(cellRatio < factRatio / 10.0,
+      f"cell frame grew ${cellRatio}%.1fx for a ${factRatio}%.0fx fact — compression lost")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      assert(Registry.byName("q109_quantile_compressed").run(spark, dir).count() == 5L,
+        s"q109 output must stay group-grain (5 event types) at $dir")
+  }
 }
