@@ -91,9 +91,10 @@ object MediaFixture {
       MediaRow(id, "png", encodePattern(id)))).toDF()
   }
 
-  private def encodePattern(id: Long): Array[Byte] = {
-    val k = (id % 17).toInt
-    val scale = if (id % 2 == 0) 2 else 4
+  private def encodePattern(id: Long): Array[Byte] =
+    encodePatternK((id % 17).toInt, if (id % 2 == 0) 2 else 4)
+
+  private def encodePatternK(k: Int, scale: Int): Array[Byte] = {
     val dim = 8 * scale
     val img = new BufferedImage(dim, dim, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -109,6 +110,80 @@ object MediaFixture {
     }
     val baos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Patterned-video synthesis for the keyframe-dedup gate (q111):
+    * each doc renders a 12-frame [[FrameContainer]] whose frame j is a
+    * REAL JDK-encoded PNG of pattern class `(k·5 + j) % 17` (the q102
+    * two-tone cells) with k = `doc_id % 11` — so the frame SEQUENCE is
+    * determined only by the class — at resolution 16×16 or 32×32 by
+    * `doc_id % 2`. Same class ⇒ identical frame content at different
+    * resolutions and different payload bytes; the stride-4 keyframe
+    * sample (frames 0, 4, 8) must collapse each class to one
+    * signature cluster. Every sampled frame class is closed-form in
+    * `doc_id`, so the oracle re-derives each signature from
+    * `documents` alone via the q102 white-cell-sum hash formula.
+    */
+  def synthesizeVideoPatterned(docs: DataFrame, idCol: String): DataFrame = {
+    val slim = docs.select(col(idCol).cast("long"))
+    import slim.sparkSession.implicits._
+    slim.as[Long].mapPartitions(_.map(id =>
+      MediaRow(id, "grfv", encodeVideo(id)))).toDF()
+  }
+
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val k = (id % 11).toInt
+    val scale = if (id % 2 == 0) 2 else 4
+    FrameContainer.encode(
+      (0 until 12).map(j => encodePatternK((k * 5 + j) % 17, scale)))
+  }
+
+  /** Enveloped-audio synthesis for the audio-fingerprint gate (q110):
+    * each doc renders an 8-segment amplitude ENVELOPE determined only
+    * by its class (`doc_id % 13`) — segment i holds constant positive
+    * amplitude `512 · (1 + (k·7 + 3i) % 11) · gain` — while the
+    * payload bytes vary by `doc_id % 2` (sample rate 8000 vs 16000 Hz,
+    * same 0.02 s per segment ⇒ 160 vs 320 frames each) and
+    * `doc_id % 3` (gain ×1..3; max amplitude 512·11·3 = 16896 <
+    * 32768, no clipping), encoded as a REAL WAVE by javax.sound (the
+    * independent producer — [[WavCodec]] is the consumer under test).
+    * Same class ⇒ identical envelope SHAPE at different rates and
+    * loudness — exactly what a byte-hash dedup misses and the
+    * delta-sign fingerprint must catch. Adjacent segment amplitudes
+    * are never equal (3 ≢ 0 mod 11 ⇒ consecutive levels differ), so
+    * the fingerprint is well-defined and strictly gain-invariant.
+    */
+  def synthesizeAudioPatterned(docs: DataFrame, idCol: String): DataFrame = {
+    val slim = docs.select(col(idCol).cast("long"))
+    import slim.sparkSession.implicits._
+    slim.as[Long].mapPartitions(_.map(id =>
+      MediaRow(id, "wav", encodeEnvelope(id)))).toDF()
+  }
+
+  private def encodeEnvelope(id: Long): Array[Byte] = {
+    val k = (id % 13).toInt
+    val gain = (1 + id % 3).toInt
+    val rate = (8000 * (1 + id % 2)).toInt
+    val framesPerSeg = rate / 50 // 0.02 s per segment, exact at both rates
+    val data = new Array[Byte](8 * framesPerSeg * 2)
+    var seg = 0
+    while (seg < 8) {
+      val amp = 512 * (1 + (k * 7 + 3 * seg) % 11) * gain
+      var f = 0
+      while (f < framesPerSeg) {
+        val i = seg * framesPerSeg + f
+        data(2 * i) = (amp & 0xff).toByte
+        data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+        f += 1
+      }
+      seg += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, (8 * framesPerSeg).toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 

@@ -49,6 +49,27 @@ final case class DecodedAudio(doc_id: Long, ok: Boolean, sample_rate: Long,
     channels: Long, n_frames: Long, duration_sec: Double, rms_max: Double,
     n_bytes: Long)
 
+/** One keyframe-sampled video row ([[Multimodal.sampleFramesBatched]]):
+  * `n_frames` from the container header, `n_sampled` frames actually
+  * decoded (stride walk over the seek table), `vhash` the XOR of the
+  * sampled frames' perceptual average-hashes — resolution-invariant
+  * because each frame hash is. `ok = false` rows carry through —
+  * total decode, and a video whose SAMPLED frames include one
+  * undecodable image is rejected as a whole (a half-signature would
+  * silently alias across content).
+  */
+final case class VideoSignature(doc_id: Long, ok: Boolean, n_frames: Long,
+    n_sampled: Long, vhash: Long)
+
+/** One acoustically-fingerprinted audio row
+  * ([[Multimodal.audioFingerprintBatched]]): `fp` is the delta-sign
+  * envelope fingerprint — bit i set iff segment i+1 is louder than
+  * segment i — gain- and sample-rate-invariant by construction.
+  * `ok = false` rows carry through with fp 0 — total decode.
+  */
+final case class AudioFingerprint(doc_id: Long, ok: Boolean,
+    sample_rate: Long, n_frames: Long, fp: Long)
+
 /** Multimodal payload plumbing (SURVEY.md §2 q60).
   *
   * Models the Spark-side shape of an image/audio pipeline: an opaque
@@ -131,6 +152,8 @@ object Multimodal {
   implicit val resizedImgEnc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
   implicit val decodedAudEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
   implicit val imageHashEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
+  implicit val audioFpEnc: Encoder[AudioFingerprint] = Encoders.product[AudioFingerprint]
+  implicit val videoSigEnc: Encoder[VideoSignature] = Encoders.product[VideoSignature]
 
   /** Shared scaffold for every REAL batched codec stage: slim
     * (id, payload) projection, typed iterator, per-TASK setup via `mk`
@@ -303,28 +326,128 @@ object Multimodal {
     payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
       PngCodec.decode(payload) match {
         case Some(img) =>
-          val g = PngCodec.resizeNearest(img, 8, 8)
-          val ch = g.channels
-          val v = new Array[Double](64)
-          var c = 0
-          while (c < 64) {
-            var s = 0
-            var i = 0
-            while (i < ch) { s += g.pixels(c * ch + i) & 0xff; i += 1 }
-            v(c) = s.toDouble / ch
-            c += 1
-          }
-          val mean = v.sum / 64.0
-          var hash = 0L
-          c = 0
-          while (c < 63) {
-            if (v(c) > mean) hash |= (1L << c)
-            c += 1
-          }
-          ImageHash(id, ok = true, img.width.toLong, img.height.toLong, hash)
+          ImageHash(id, ok = true, img.width.toLong, img.height.toLong, aHashOf(img))
         case None => ImageHash(id, ok = false, 0L, 0L, 0L)
       }
     }
+
+  /** The 63-bit average-hash of a decoded raster (8×8 nearest
+    * thumbnail, per-cell channel mean vs global mean) — shared by the
+    * still-image ([[aHashPngBatched]]) and video-keyframe
+    * ([[sampleFramesBatched]]) paths.
+    */
+  private def aHashOf(img: PngCodec.Png): Long = {
+    val g = PngCodec.resizeNearest(img, 8, 8)
+    val ch = g.channels
+    val v = new Array[Double](64)
+    var c = 0
+    while (c < 64) {
+      var s = 0
+      var i = 0
+      while (i < ch) { s += g.pixels(c * ch + i) & 0xff; i += 1 }
+      v(c) = s.toDouble / ch
+      c += 1
+    }
+    val mean = v.sum / 64.0
+    var hash = 0L
+    c = 0
+    while (c < 63) {
+      if (v(c) > mean) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** KEYFRAME sampling + perceptual signature over [[FrameContainer]]
+    * video payloads — the real form of the q61 frame-sample stub: the
+    * container's length index turns frame access into a SEEK, so only
+    * every `stride`-th frame is ever decoded — per-row cost is
+    * O(sampled frames), not O(video bytes), which is the whole
+    * economics of a keyframe pass over a 100 TB clip corpus. Each
+    * sampled frame decodes through the REAL PNG critical path and
+    * hashes with the shared average-hash; the clip signature is the
+    * XOR of the sampled frame hashes (order-insensitive and
+    * resolution-invariant because each frame hash is; a re-encoded or
+    * rescaled copy of the same cut collapses to the same signature).
+    * A sampled frame that fails to decode rejects the whole clip
+    * (`ok = false`) — a partial signature would alias across content.
+    * Same scaffold as every codec stage: per-task setup, total
+    * decode, input partitioning preserved, no shuffle; downstream
+    * dedup is q40's groupBy on the 8-byte signature.
+    */
+  def sampleFramesBatched(df: DataFrame, idCol: String,
+      stride: Int): Dataset[VideoSignature] = {
+    require(stride >= 1, "frame stride must be positive")
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      FrameContainer.index(payload) match {
+        case Some(idx) if idx.nonEmpty =>
+          var vhash = 0L
+          var n = 0L
+          var bad = false
+          var i = 0
+          while (i < idx.length && !bad) {
+            FrameContainer.frameAt(payload, i).flatMap(PngCodec.decode) match {
+              case Some(img) => vhash ^= aHashOf(img); n += 1
+              case None => bad = true
+            }
+            i += stride
+          }
+          if (bad) VideoSignature(id, ok = false, idx.length.toLong, 0L, 0L)
+          else VideoSignature(id, ok = true, idx.length.toLong, n, vhash)
+        case _ => VideoSignature(id, ok = false, 0L, 0L, 0L)
+      }
+    }
+  }
+
+  /** ACOUSTIC delta-sign fingerprint over really-decoded WAV payloads
+    * — the audio twin of [[aHashPngBatched]] (the published
+    * Shazam/Chromaprint simplification: fingerprint the energy
+    * ENVELOPE's direction of change, not its magnitude): decode →
+    * split the clip into `segments` equal-duration blocks → per-block
+    * mean |amplitude| → bit i set iff block i+1 is strictly louder
+    * than block i. Loudness comparisons are EXACT integer arithmetic
+    * (cross-multiplied Long sums — no float means), so the bit
+    * pattern is invariant to any positive gain (scaling every sample
+    * scales both sides of each comparison) and to sample-rate changes
+    * that preserve the envelope (per-block means don't care how many
+    * frames realize a block). Same batched scaffold as every codec
+    * stage: per-task setup, total decode, input partitioning
+    * preserved, no shuffle — downstream dedup is q40's groupBy on an
+    * 8-byte hash, never a pairwise clip compare.
+    */
+  def audioFingerprintBatched(df: DataFrame, idCol: String,
+      segments: Int = 8): Dataset[AudioFingerprint] = {
+    require(segments >= 2 && segments <= 64, "need 2..64 envelope segments")
+    payloadBatched(df, idCol)(() => ()) { (_, id, payload) =>
+      WavCodec.decode(payload) match {
+        case Some(w) if w.nFrames >= segments =>
+          val n = w.nFrames
+          val ch = w.channels
+          val sums = new Array[Long](segments)
+          val lens = new Array[Long](segments)
+          var f = 0
+          while (f < n) {
+            val seg = (f.toLong * segments / n).toInt
+            var c = 0
+            while (c < ch) {
+              sums(seg) += math.abs(w.samples(f * ch + c).toLong)
+              c += 1
+            }
+            lens(seg) += ch
+            f += 1
+          }
+          var fp = 0L
+          var i = 0
+          while (i < segments - 1) {
+            // mean(i+1) > mean(i) ⟺ sum(i+1)·len(i) > sum(i)·len(i+1)
+            if (sums(i + 1) * lens(i) > sums(i) * lens(i + 1)) fp |= (1L << i)
+            i += 1
+          }
+          AudioFingerprint(id, ok = true, w.sampleRate.toLong, n.toLong, fp)
+        case _ => AudioFingerprint(id, ok = false, 0L, 0L, 0L)
+      }
+    }
+  }
 
   /** REAL batched resize for PNG payloads: decode → nearest-neighbor
     * resample → canonical re-encode (filter-0 rows, single IDAT), md5

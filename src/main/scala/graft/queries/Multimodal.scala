@@ -197,5 +197,115 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
-  def all: Seq[Q] = Seq(q60, q61, q82, q102)
+  /** q110: ACOUSTIC audio dedup over really-decoded WAVs — the audio
+    * member of the dedup family, completing the modality set (q40
+    * exact bytes, q41/q42 text sketches, q44 embeddings, q102 images):
+    * every document renders a REAL javax.sound-encoded WAVE whose
+    * amplitude ENVELOPE depends only on its class (`doc_id % 13`)
+    * while the payload bytes vary by sample rate (`doc_id % 2` →
+    * 8/16 kHz) AND loudness (`doc_id % 3` → gain ×1..3)
+    * ([[graft.operators.MediaFixture.synthesizeAudioPatterned]]); the
+    * scratch-built RIFF/WAVE decoder + delta-sign envelope fingerprint
+    * ([[graft.operators.Multimodal.audioFingerprintBatched]] — exact
+    * integer loudness comparisons, gain- and rate-invariant by
+    * construction) must collapse each class to ONE fingerprint
+    * cluster spanning both rates and all three gains — the dedup a
+    * byte/md5 hash cannot do. The ORACLE re-derives each cluster
+    * arithmetically from `documents` alone: fingerprint bit i of
+    * class k is `(k·7 + 3(i+1)) % 11 > (k·7 + 3i) % 11` (segment
+    * levels are `512·(1 + (k·7+3i) % 11)·gain`, monotone in the
+    * level term), so encoder, decoder, segmenter and comparator are
+    * all independently recomputed on the DuckDB side. Downstream is
+    * q40's shape: one groupBy on an 8-byte fingerprint, never a
+    * pairwise clip compare.
+    */
+  val q110 = Q.of(
+    "q110_audio_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 AS k FROM documents
+      |), f AS (
+      |  SELECT k, CAST(sum(CASE
+      |      WHEN (k * 7 + 3 * (i + 1)) % 11 > (k * 7 + 3 * i) % 11
+      |      THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM (SELECT DISTINCT k FROM d), (SELECT unnest(range(0, 7)) AS i)
+      |  GROUP BY k
+      |)
+      |SELECT fp,
+      |  CAST(count(*) AS BIGINT) AS n_clips,
+      |  CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_rates,
+      |  CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_gains,
+      |  min(doc_id) AS rep
+      |FROM d JOIN f USING (k)
+      |GROUP BY fp
+      |ORDER BY fp""".stripMargin) { t =>
+    import graft.operators.MediaFixture
+    val media = MediaFixture.synthesizeAudioPatterned(
+      t.documents.select("doc_id"), "doc_id")
+    M.audioFingerprintBatched(media, "doc_id").toDF()
+      .filter(col("ok"))
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        countDistinct(col("sample_rate")).as("n_rates"),
+        countDistinct(pmod(col("doc_id"), lit(3))).as("n_gains"),
+        min(col("doc_id")).as("rep"))
+      .orderBy(col("fp"))
+  }
+
+  /** q111: VIDEO keyframe-sample dedup — the moving-picture member of
+    * the dedup family and the REAL form of q61's frame-sample stub:
+    * every document renders a 12-frame [[graft.operators
+    * .FrameContainer]] clip whose frame sequence depends only on its
+    * class (`doc_id % 11`; frame j is the q102 two-tone pattern of
+    * class `(k·5+j) % 17`, REAL JDK-encoded PNG) at a resolution that
+    * varies by `doc_id % 2`; [[graft.operators.Multimodal
+    * .sampleFramesBatched]] SEEKS to every 4th frame via the
+    * container's length index (decode cost O(sampled), never O(clip)
+    * — the keyframe economics that make a 100 TB clip corpus
+    * traversable), decodes ONLY those through the scratch PNG critical
+    * path, and signs the clip with the XOR of their average-hashes —
+    * collapsing each class across resolutions where a byte/md5 dedup
+    * sees only distinct payloads. The ORACLE re-derives every sampled
+    * frame hash arithmetically (the q102 white-cell-sum formula at
+    * classes (k·5+j) % 17, j ∈ {0,4,8}) and folds them with
+    * `bit_xor` — container writer, seek table, decoder, hash and
+    * fold all independently recomputed on the DuckDB side. Downstream
+    * is q40's shape: one groupBy on an 8-byte signature.
+    */
+  val q111 = Q.of(
+    "q111_video_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 11 AS k FROM documents
+      |), fh AS (
+      |  SELECT k, j, CAST(sum(CASE
+      |      WHEN ((g + 1) * ((k * 5 + j) % 17 + 3)) % 17 % 2 = 1
+      |      THEN CAST(1 AS BIGINT) << CAST(g AS INTEGER) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM (SELECT DISTINCT k FROM d),
+      |       (SELECT unnest([0, 4, 8]) AS j),
+      |       (SELECT unnest(range(0, 63)) AS g)
+      |  GROUP BY k, j
+      |), v AS (
+      |  SELECT k, CAST(bit_xor(ahash) AS BIGINT) AS vhash FROM fh GROUP BY k
+      |)
+      |SELECT vhash,
+      |  CAST(count(*) AS BIGINT) AS n_videos,
+      |  CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_resolutions,
+      |  min(doc_id) AS rep
+      |FROM d JOIN v USING (k)
+      |GROUP BY vhash
+      |ORDER BY vhash""".stripMargin) { t =>
+    import graft.operators.MediaFixture
+    val media = MediaFixture.synthesizeVideoPatterned(
+      t.documents.select("doc_id"), "doc_id")
+    M.sampleFramesBatched(media, "doc_id", stride = 4).toDF()
+      .filter(col("ok"))
+      .groupBy(col("vhash"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        countDistinct(pmod(col("doc_id"), lit(2))).as("n_resolutions"),
+        min(col("doc_id")).as("rep"))
+      .orderBy(col("vhash"))
+  }
+
+  def all: Seq[Q] = Seq(q60, q61, q82, q102, q110, q111)
 }
