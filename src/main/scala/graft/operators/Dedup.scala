@@ -160,6 +160,73 @@ object Dedup {
     Components.keepSurvivors(docs, idCol,
       Components.label(nearDupPairs(docs, idCol, textCol, n, minJaccard), "doc_a", "doc_b"))
 
+  /** INCREMENTAL near-dup disposition: a DELTA batch (rows where
+    * `deltaCol` is true — the day's newly ingested docs) checked
+    * against the full corpus WITHOUT generating base×base candidates.
+    * The production loop every continuously-fed training corpus runs:
+    * re-deduping 100 TB nightly against itself is quadratic waste when
+    * yesterday's corpus was already clean — only pairs touching the
+    * delta can be new.
+    *
+    * Scale shape: signatures are per-row folds (linear; conceptually
+    * the base's signatures come from the signature STORE written when
+    * those docs arrived — ~520 B/doc, the §5 rule); the banded join
+    * keys DELTA bands only against ALL bands, so candidate volume is
+    * |delta|-proportional, never corpus²; with the base band table
+    * stored bucketed on (band, band_hash) — the q81 layout — the join
+    * co-locates with ZERO base-side exchange, and AQE broadcasts the
+    * delta side outright when a day's bands fit. Verify + disposition
+    * then ride pair- and delta-grain frames. Output: one row per delta
+    * doc — `dup_of_base` (≥1 verified base partner), `dup_within_delta`
+    * (base-clean but duplicated inside the batch), or `new`, with the
+    * partner counts.
+    */
+  def incrementalReport(docs: DataFrame, idCol: String, textCol: String,
+      deltaCol: org.apache.spark.sql.Column,
+      n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val sigs = withMinHashFromText(docs, textCol, n, numHashes = 64)
+    val slim = graft.CacheScope.trackedCache(
+      sigs.select(col(idCol).as("graft_id"), col("minhash"), deltaCol.as("graft_delta")))
+    val banded = slim.select(col("graft_id"), col("graft_delta"),
+      posexplode(expr(
+        "transform(sequence(0, 15), b -> xxhash64(b, slice(minhash, b * 4 + 1, 4)))"))
+        .as(Seq("band", "band_hash")))
+    // delta bands vs ALL bands — the only wide join, |delta|-keyed
+    val cand = banded.filter(col("graft_delta"))
+      .select(col("graft_id").as("graft_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("graft_id").as("graft_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("graft_a") =!= col("graft_b"))
+      .select(least(col("graft_a"), col("graft_b")).as("doc_a"),
+        greatest(col("graft_a"), col("graft_b")).as("doc_b"))
+      .distinct()
+    val prefiltered = cand
+      .join(slim.select(col("graft_id").as("doc_a"), col("minhash").as("mh_a")), "doc_a")
+      .join(slim.select(col("graft_id").as("doc_b"), col("minhash").as("mh_b")), "doc_b")
+      .filter(graft.functions.sketch.sigAgreement(col("mh_a"), col("mh_b"))
+        >= minJaccard - 0.2)
+      .select("doc_a", "doc_b")
+    val verified = textJaccardVerify(prefiltered, docs, idCol, textCol, n)
+      .filter(col("jaccard") >= minJaccard)
+    // each verified unordered pair, seen from both ends, typed by the
+    // partner's delta flag; base-rooted rows drop at the delta join
+    val flags = docs.select(col(idCol).as("graft_p"), deltaCol.as("graft_p_delta"))
+    val directed = verified.select(col("doc_a").as("graft_d"), col("doc_b").as("graft_p"))
+      .unionAll(verified.select(col("doc_b").as("graft_d"), col("doc_a").as("graft_p")))
+      .join(flags, "graft_p")
+    docs.filter(deltaCol).select(col(idCol).as("graft_d"))
+      .join(directed, Seq("graft_d"), "left")
+      .groupBy(col("graft_d"))
+      .agg(
+        sum(when(col("graft_p_delta") === false, 1L).otherwise(0L)).as("n_base_dups"),
+        sum(when(col("graft_p_delta") === true, 1L).otherwise(0L)).as("n_delta_dups"))
+      .select(col("graft_d").as(idCol),
+        when(col("n_base_dups") > 0, "dup_of_base")
+          .when(col("n_delta_dups") > 0, "dup_within_delta")
+          .otherwise("new").as("verdict"),
+        col("n_base_dups"), col("n_delta_dups"))
+  }
+
   /** Adds `simhash`: 64-bit SimHash over whitespace tokens — bit b set
     * when the signed sum of token-hash bit b is non-negative, via the
     * native [[graft.functions.SimHash64]] expression (one primitive

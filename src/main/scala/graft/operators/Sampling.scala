@@ -74,6 +74,37 @@ object Sampling {
     *
     * `splits` = (label, weight) pairs; weights must sum to 1 (±1e-9).
     */
+  /** MIXTURE sampling: each stratum is sampled at its own RATE (the
+    * data-mixing step of a training pipeline — DoReMi-style domain
+    * reweighting executed as a filter): a row is kept iff
+    * `md5(hashKey) < hex(round(rate(stratum)·65536))`, quantized to
+    * the same 4-hex space as [[hashSplit]] so membership is
+    * cross-engine exact and the decision is content-keyed —
+    * reproducible across runs, engines, cluster sizes, and input
+    * order, and CONSISTENT with [[hashSplit]] buckets built on the
+    * same key (a doc sampled at 25% is a subset of the same doc set
+    * sampled at 50% — nested samples, the property rate-ramp
+    * experiments rely on). Rate 1.0 keeps everything (no hash
+    * compare); rates quantizing to 0/65536 boundaries are rejected
+    * rather than silently collapsing. Pure projection + filter —
+    * ZERO shuffle at any corpus size.
+    */
+  def mixtureSample(df: DataFrame, strataCol: Column, hashKey: Column,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    (defaultRate +: rates.map(_._2)).foreach { r =>
+      require(r == 1.0 || (r > 0 && math.round(r * 65536) > 0 && math.round(r * 65536) < 65536),
+        s"rate $r quantizes to an empty or full bucket at 1/65536 granularity")
+    }
+    def keepFor(rate: Double): Column =
+      if (rate == 1.0) lit(true)
+      else md5(hashKey.cast("string")) < lit(f"${math.round(rate * 65536)}%04x")
+    val keep = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (stratum, rate)) => acc.when(strataCol === stratum, keepFor(rate))
+    }.otherwise(keepFor(defaultRate))
+    df.filter(keep)
+  }
+
   def hashSplit(df: DataFrame, hashKey: Column, splits: Seq[(String, Double)],
       splitCol: String = "split"): DataFrame = {
     require(splits.size >= 2, "need at least two buckets")

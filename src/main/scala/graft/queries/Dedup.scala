@@ -169,6 +169,55 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q112: INCREMENTAL dedup — the daily-increment loop
+    * ([[graft.operators.Dedup.incrementalReport]]): the DELTA batch
+    * (`doc_id % 5 = 0`, the day's ingest) near-dup-checked against the
+    * full corpus with candidates keyed on DELTA bands only — base×base
+    * pairs are never generated (yesterday's corpus is already clean;
+    * re-deduping 100 TB against itself nightly is quadratic waste).
+    * Disposition per delta doc: `dup_of_base` / `dup_within_delta` /
+    * `new`, with verified-partner counts — the decision a curation
+    * pipeline acts on (reject, intra-batch resolve, admit).
+    *
+    * The oracle is the O(n²) exact jaccard scan restricted to
+    * delta-touching pairs + the same disposition rollup — the banded
+    * delta-keyed plan must reproduce the brute-force answer exactly
+    * (q43's gate, applied to the incremental shape). Output is
+    * delta-grain: bounded by the day's batch, never the corpus.
+    */
+  val q112 = Q.of(
+    "q112_incremental_dedup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1), 1),
+      |                                 i -> substr(text, i, 5))) AS s
+      |  FROM documents
+      |), pr AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |), directed AS (
+      |  SELECT da AS d, db AS p FROM pr UNION ALL SELECT db, da FROM pr
+      |)
+      |SELECT del.doc_id,
+      |  CASE WHEN COALESCE(SUM(CASE WHEN p % 5 <> 0 THEN 1 ELSE 0 END), 0) > 0
+      |         THEN 'dup_of_base'
+      |       WHEN COALESCE(SUM(CASE WHEN p % 5 = 0 THEN 1 ELSE 0 END), 0) > 0
+      |         THEN 'dup_within_delta'
+      |       ELSE 'new' END AS verdict,
+      |  CAST(COALESCE(SUM(CASE WHEN p % 5 <> 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_base_dups,
+      |  CAST(COALESCE(SUM(CASE WHEN p % 5 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_delta_dups
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) del
+      |LEFT JOIN directed ON directed.d = del.doc_id
+      |GROUP BY del.doc_id
+      |ORDER BY del.doc_id""".stripMargin) { t =>
+    D.incrementalReport(t.documents, "doc_id", "text",
+      deltaCol = pmod(col("doc_id"), lit(5)) === 0, n = 5, minJaccard = 0.8)
+      .orderBy(col("doc_id"))
+  }
+
   val q44 = Q.rowsOnly("q44_dedup_embedding") { t =>
     val e = t.embeddings.select(col("vec_id"), vec.toDoubleArr(col("embedding")).as("v"))
     // one cheap count job (parquet metadata) sizes the banding for
@@ -179,5 +228,5 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  def all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45)
+  def all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q112)
 }

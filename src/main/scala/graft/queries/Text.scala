@@ -423,5 +423,38 @@ object Text {
       .orderBy(col("shard_id"))
   }
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78, q79, q80)
+  /** q113: MIXTURE sampling ([[graft.operators.Sampling
+    * .mixtureSample]]) — the domain-reweighting step of a training
+    * pipeline (the DoReMi/data-mixing loop, executed as a filter):
+    * each source stratum keeps its own target fraction via the q79
+    * md5-threshold mechanism (`md5(text) < hex(round(rate·65536))`),
+    * so membership is content-keyed, cross-engine exact, reproducible
+    * across runs/cluster sizes, and NESTED across rates (a 25% sample
+    * is a subset of the 50% sample on the same key — the property
+    * rate-ramp experiments rely on). src0 keeps everything, src1 75%,
+    * src2 50%, src3 25%, everything else 12.5%. Pure projection +
+    * filter — ZERO shuffle at any corpus size (the ORDER BY is
+    * presentation); the oracle pins doc-level MEMBERSHIP, not just
+    * counts.
+    */
+  val q113 = Q.of(
+    "q113_mixture_sample",
+    """SELECT source, doc_id FROM documents
+      |WHERE CASE source
+      |  WHEN 'src0' THEN TRUE
+      |  WHEN 'src1' THEN md5(text) < 'c000'
+      |  WHEN 'src2' THEN md5(text) < '8000'
+      |  WHEN 'src3' THEN md5(text) < '4000'
+      |  ELSE md5(text) < '2000' END
+      |ORDER BY source, doc_id""".stripMargin) { t =>
+    graft.operators.Sampling.mixtureSample(
+        t.documents.select(col("source"), col("doc_id"), col("text")),
+        col("source"), col("text"),
+        rates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultRate = 0.125)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q37, q38, q78, q79, q80, q113)
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.vec
+import graft.operators.{Dedup => D}
 
 /** Recall/containment checks for the approximate dedup surfaces
   * (q41/q42/q44) against exact ground truth computed in-spec.
@@ -98,7 +99,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dropNearDups keeps exactly one survivor per component plus all isolated docs") {
-    import graft.operators.{Components, Dedup => D}
+    import graft.operators.Components
     val docs = tables.documents
     val pairs = D.nearDupPairs(docs, "doc_id", "text")
     val members = pairs.select(col("doc_a").as("id"))
@@ -184,5 +185,60 @@ class DedupSpec extends SparkSpec {
           s"q41: banded exchange ships array column ${a.name} — " +
             "signatures must join back after pair dedup, not ride the band shuffle")
     }
+  }
+
+  test("q112 incrementalReport: dispositions on crafted base/delta near-dups") {
+    import spark.implicits._
+    val baseText = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest before nightfall comes ") * 2
+    val deltaText = baseText.replace("lazy dog", "lazy cat") // near-dup of base
+    val batchText = ("completely different content about distributed query " +
+      "engines shuffling partitioned columnar data across executors daily ") * 2
+    val batchText2 = batchText.replace("daily", "today") // near-dup within delta
+    val uniqueText = ("nothing in this corpus resembles this isolated text " +
+      "about underwater basket weaving championships held on mountaintops ") * 2
+    // delta = id % 5 == 0; base = everything else
+    val docs = Seq(
+      (1L, baseText),        // base original
+      (2L, "short unrelated base doc about gardens and stone paths in autumn"),
+      (5L, deltaText),       // delta: dup of base 1
+      (10L, batchText),      // delta: dup of 15 (delta) only
+      (15L, batchText2),     // delta: dup of 10 (delta) only
+      (20L, uniqueText))     // delta: new
+      .toDF("doc_id", "text")
+    val r = D.incrementalReport(docs, "doc_id", "text",
+      deltaCol = pmod(col("doc_id"), lit(5)) === 0).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(5L, 10L, 15L, 20L), "output is delta-grain only")
+    assert(r(5L).getAs[String]("verdict") == "dup_of_base")
+    assert(r(5L).getAs[Long]("n_base_dups") == 1L)
+    assert(r(10L).getAs[String]("verdict") == "dup_within_delta")
+    assert(r(10L).getAs[Long]("n_base_dups") == 0L)
+    assert(r(10L).getAs[Long]("n_delta_dups") == 1L)
+    assert(r(15L).getAs[String]("verdict") == "dup_within_delta")
+    assert(r(20L).getAs[String]("verdict") == "new")
+    assert(r(20L).getAs[Long]("n_base_dups") == 0L &&
+      r(20L).getAs[Long]("n_delta_dups") == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("q112 candidate generation is delta-keyed: base docs never join base docs") {
+    // the incremental plan's banded join keys one side on the DELTA
+    // bands only — verified behaviorally: two base docs that are exact
+    // duplicates of each other must produce NO output row (base×base
+    // pairs are out of scope) while the delta side still resolves
+    import spark.implicits._
+    val dupText = ("identical base payload repeated across two base rows " +
+      "that a full self-join would pair up immediately every time ") * 2
+    val docs = Seq(
+      (1L, dupText), (2L, dupText), // base×base exact dup — must NOT surface
+      (5L, "a delta doc with nothing else like it anywhere in this batch"))
+      .toDF("doc_id", "text")
+    val r = D.incrementalReport(docs, "doc_id", "text",
+      deltaCol = pmod(col("doc_id"), lit(5)) === 0).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == Set(5L))
+    assert(r(0).getAs[String]("verdict") == "new",
+      "base-base duplication must not leak into the delta report")
+    spark.catalog.clearCache()
   }
 }

@@ -261,6 +261,45 @@ class OperatorsSpec extends SparkSpec {
         Sampling.hashSplit(docs, col("text"), badSplits))
   }
 
+  test("mixtureSample: per-stratum rates, nested samples, shuffle-free (q113)") {
+    import graft.operators.Sampling
+    val docs = tables.documents.select(col("source"), col("doc_id"), col("text"))
+    def ids(rates: Seq[(String, Double)], default: Double): Set[Long] =
+      Sampling.mixtureSample(docs, col("source"), col("text"), rates, default)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate 1.0 keeps every row of its stratum; a near-zero legal rate
+    // keeps almost nothing
+    val src0 = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Seq("src0" -> 1.0), default = 1.0) == all)
+    assert(src0.subsetOf(ids(Seq("src0" -> 1.0), default = 0.001)))
+    // NESTED: the 25% sample is a subset of the 50% sample on the same
+    // key — the rate-ramp property the threshold mechanism guarantees
+    val at25 = ids(Seq("src0" -> 0.25), default = 0.25)
+    val at50 = ids(Seq("src0" -> 0.5), default = 0.5)
+    assert(at25.subsetOf(at50), "samples must nest as rates grow")
+    // input-order independent
+    val reparted = Sampling.mixtureSample(docs.repartition(7, col("doc_id")),
+      col("source"), col("text"), Seq("src0" -> 0.5), defaultRate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reparted == ids(Seq("src0" -> 0.5), default = 0.25),
+      "membership depends on partitioning")
+    // rates share q79's realized-fraction accuracy on the same hash
+    val kept = at50.size.toDouble / all.size
+    assert(math.abs(kept - 0.5) < 0.06, s"realized rate $kept vs 0.5")
+    // degenerate rates are rejected loudly
+    for (bad <- Seq(0.0, 1e-9, 1.0 - 1e-9, -0.5))
+      assertThrows[IllegalArgumentException](
+        Sampling.mixtureSample(docs, col("source"), col("text"),
+          Seq("src0" -> bad), defaultRate = 0.5))
+    // pure projection + filter: zero exchanges of any kind
+    val plan = Sampling.mixtureSample(docs, col("source"), col("text"),
+      Seq("src0" -> 0.5), defaultRate = 0.25)
+    plan.collect()
+    assert(shuffles(plan).isEmpty, s"mixture sampling must not shuffle:\n${planOf(plan)}")
+  }
+
   test("q78's rank exchange ships hashes and ids, never the corpus text") {
     val df = run("q78_stratified_sample")
     val leaky = shuffles(df).filter(_.output.exists(_.name == "text"))
