@@ -214,5 +214,43 @@ object Streaming {
       .orderBy(col("user_id"), col("out_id"))
   }
 
-  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77, q90, q99)
+  /** q114: the streaming near-dup ADMISSION gate in batch mode
+    * ([[EventStreams.nearDupFlagged]]) — the streaming twin of q112's
+    * incremental dedup: the delta stream (`doc_id % 5 = 0`, event time
+    * = one doc per minute from 2024-01-01) is near-dup-checked against
+    * the STATIC base corpus via the banded stream-static join, and
+    * flagged docs roll up per (hour window, doc). The oracle is the
+    * O(n²) exact delta×base jaccard scan + window-start arithmetic
+    * (1704067200 is hour-aligned, so the window start is closed-form
+    * in doc_id); StreamingSpec drives the same operator through
+    * MemoryStream micro-batches and asserts the append-mode emissions
+    * match this batch answer on watermark-closed windows.
+    */
+  val q114 = Q.of(
+    "q114_stream_neardup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1), 1),
+      |                                 i -> substr(text, i, 5))) AS s
+      |  FROM documents
+      |), pr AS (
+      |  SELECT d.doc_id AS sd, b.doc_id AS bd
+      |  FROM sh d JOIN sh b ON d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |  WHERE CAST(len(list_intersect(d.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(d.s, b.s))) >= 0.8
+      |)
+      |SELECT CAST((1704067200 + (sd // 60) * 3600) * 1000000 AS BIGINT) AS win_start_us,
+      |  sd AS doc_id, CAST(count(*) AS BIGINT) AS n_base_dups
+      |FROM pr GROUP BY sd
+      |ORDER BY doc_id""".stripMargin) { t =>
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("ts",
+        timestamp_micros(col("doc_id") * 60000000L + lit(1704067200000000L)))
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    EventStreams.nearDupFlagged(delta, base)
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(q70, q71, q72, q73, q76, q77, q90, q99, q114)
 }

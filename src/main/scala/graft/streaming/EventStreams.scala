@@ -102,6 +102,64 @@ object EventStreams {
     else hashed.dropDuplicates("graft_content_hash")
   }
 
+  /** STREAMING near-dup ADMISSION flag (SURVEY §2 q114) — the
+    * streaming twin of [[graft.operators.Dedup.incrementalReport]]:
+    * each arriving doc is near-dup-checked against the STATIC base
+    * corpus via a stream-static banded join, flagging duplicates as
+    * they arrive instead of in a nightly batch.
+    *
+    * Mechanics: base signatures + band table are computed once from
+    * the static side (in production they ARE the stored signature
+    * table — ~520 B/doc); each stream doc folds its own signature
+    * (projection), explodes to 16 band keys, and stream-static
+    * inner-joins the base bands — per-row state NONE (the static side
+    * is a build-side lookup; no-match docs never produce state or
+    * output, the q91 zero-touch economics). Survivors pass the
+    * signature-agreement prefilter, then the EXACT n-gram jaccard
+    * verify — all projections. Band-collision repeats collapse via
+    * `dropDuplicatesWithinWatermark` (state bounded by the duplicate-
+    * arrival horizon), and the per-doc partner count is a watermarked
+    * hourly-window aggregate — a chained stateful pipeline (dedup →
+    * windowed agg) in append mode. Output: one row per FLAGGED doc
+    * (win_start_us, doc_id, n_base_dups); clean docs flow through
+    * unflagged (the admission gate is an anti-join downstream).
+    *
+    * On batch frames the same code is plain dropDuplicates + window
+    * aggregate — the q114 oracle path.
+    */
+  def nearDupFlagged(docs: DataFrame, baseDocs: DataFrame,
+      textCol: String = "text", n: Int = 5, minJaccard: Double = 0.8,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.{Dedup => D}
+    val bandExpr =
+      "transform(sequence(0, 15), b -> xxhash64(b, slice(minhash, b * 4 + 1, 4)))"
+    val baseBands = D.withMinHashFromText(
+        baseDocs.select(col("doc_id"), col(textCol)), textCol, n, numHashes = 64)
+      .select(col("doc_id").as("graft_b"), col("minhash").as("graft_mh_b"),
+        col(textCol).as("graft_text_b"),
+        posexplode(expr(bandExpr)).as(Seq("band", "band_hash")))
+    val streamBands = D.withMinHashFromText(docs, textCol, n, numHashes = 64)
+      .select(col("doc_id"), col("ts"), col(textCol).as("graft_text_s"),
+        col("minhash"), posexplode(expr(bandExpr)).as(Seq("band", "band_hash")))
+    val matched = streamBands.join(baseBands, Seq("band", "band_hash"))
+      .filter(graft.functions.sketch.sigAgreement(col("minhash"), col("graft_mh_b"))
+        >= minJaccard - 0.2)
+      .withColumn("jaccard", graft.functions.sketch.textJaccard(
+        col("graft_text_s"), col("graft_text_b"), n))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("ts"), col("graft_b"))
+    val pairs =
+      if (matched.isStreaming)
+        matched.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("doc_id", "graft_b")
+      else matched.dropDuplicates("doc_id", "graft_b")
+    pairs
+      .groupBy(window(col("ts"), "1 hour").as("graft_win"), col("doc_id"))
+      .agg(count(lit(1)).as("n_base_dups"))
+      .select(unix_micros(col("graft_win.start")).as("win_start_us"),
+        col("doc_id"), col("n_base_dups"))
+  }
+
   /** Stream-stream interval-join attribution (SURVEY §2 q76; the
     * streaming twin of q69's impression→outcome machinery and the
     * reference's real-time personalization consumer —

@@ -310,4 +310,45 @@ class StreamingSpec extends SparkSpec {
       .collect().map(s => (s.user_id, s.session_seq, s.n_events)).toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("q114: streaming near-dup flags match batch on watermark-closed windows") {
+    // the chained stateful pipeline (stream-static banded join →
+    // dropDuplicatesWithinWatermark → windowed aggregate) through the
+    // real readStream path; append mode emits exactly the closed
+    // windows, and every emission must match the batch oracle answer
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("ts",
+        timestamp_micros(col("doc_id") * 60000000L + lit(1704067200000000L)))
+      .select("doc_id", "text", "ts")
+    val base = tables.documents
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0).select("doc_id", "text")
+    val q = EventStreams.nearDupFlagged(stream, base)
+      .writeStream.format("memory").queryName("q114mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("q114mem").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = run("q114_stream_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture sanity: the corpus plants delta-vs-base near-dups")
+    assert(streamed.subsetOf(batch),
+      s"stream emitted rows the batch answer does not contain: ${(streamed -- batch).take(3)}")
+    // in a CHAINED stateful pipeline the downstream aggregate sees the
+    // upstream operator's watermark one microbatch late (Spark's
+    // cross-operator watermark propagation), so the conservative
+    // closed bound is TWO watermark delays behind max event time;
+    // windows ending at or before that MUST have emitted
+    val maxUs = 1704067200000000L +
+      tables.documents.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .agg(max(col("doc_id"))).head().getLong(0) * 60000000L
+    val closed = batch.filter { case (winStart, _, _) =>
+      winStart + 3600000000L <= maxUs - 2L * 3600000000L }
+    assert(closed.subsetOf(streamed),
+      s"closed windows missing from the stream: ${(closed -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "no closed flagged windows at this fixture scale")
+    spark.catalog.clearCache()
+  }
 }
