@@ -50,7 +50,11 @@ object Registry {
       graft.queries.SetOps.all ++
       graft.queries.Profile.all ++
       graft.queries.Json.all ++
-      graft.queries.Pit.all
+      graft.queries.Pit.all ++
+      graft.queries.Semantic.all ++
+      graft.queries.Boilerplate.all ++
+      graft.queries.Classifier.all ++
+      graft.queries.Graph.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
