@@ -54,7 +54,9 @@ object Registry {
       graft.queries.Semantic.all ++
       graft.queries.Boilerplate.all ++
       graft.queries.Classifier.all ++
-      graft.queries.Graph.all
+      graft.queries.Graph.all ++
+      graft.queries.Tokenize.all ++
+      graft.queries.Orc.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
