@@ -159,6 +159,61 @@ class SemanticSpec extends SparkSpec {
     assert(r == Set(1000000L))
   }
 
+  test("q118 PageRank differential vs a sequential reference on random graphs") {
+    import spark.implicits._
+    // fixed-seed random symmetric graphs; the distributed join-agg
+    // loop must equal an independent sequential fold EXACTLY (integer
+    // fixed-point arithmetic has no tolerance band)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val undirected = (for (_ <- 1 to n * 2) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) None else Some((a.min(b), a.max(b)))
+      }).flatten.distinct
+      val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val got = graft.operators.PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential reference: adjacency fold in plain Scala
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var rank = out.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for ((src, dsts) <- out; c = rank(src) / dsts.length; d <- dsts)
+          contrib(d) += c
+        rank = rank.keys.map(id => id -> (150000L + 85L * contrib(id) / 100L)).toMap
+      }
+      assert(got == rank, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("q115 anchor scaling holds per-vector candidate volume ~flat") {
+    import spark.implicits._
+    // the SemDeDup scale knob: anchors grow ∝ corpus, so cell
+    // populations — and with them the per-vector quadratic pair work —
+    // stay bounded. Fixed-seed random vectors, 4x corpus with 4x
+    // anchors: pairs/vector must not grow beyond noise (uniform data:
+    // E[pairs/vec] = (n/k - 1)/2 stays constant when k ∝ n).
+    val rnd = new scala.util.Random(11)
+    def vecs(n: Int) = (0 until n).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    def pairsPerVec(n: Int, anchors: Int): Double = {
+      val e = vecs(n)
+      val anchorSet = e.filter(col("vec_id") < anchors)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = graft.operators.Similarity
+        .assignToCentroids(e, anchorSet, "vec_id", "v", "cid", "cv")
+        .select(col("vec_id"), col("cell"))
+      val cells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .collect().map(_.getLong(1))
+      cells.map(c => c * (c - 1) / 2.0).sum / n
+    }
+    val small = pairsPerVec(400, 8)
+    val large = pairsPerVec(1600, 32)
+    assert(large < small * 1.5,
+      s"pair volume per vector grew: $small -> $large (knob not engaged)")
+  }
+
   test("q117 is a pure projection: no hash exchange in the plan") {
     val plan = planOf(run("q117_classifier_score"))
     assert(!plan.contains("Exchange hashpartitioning"),
