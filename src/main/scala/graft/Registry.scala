@@ -56,7 +56,8 @@ object Registry {
       graft.queries.Classifier.all ++
       graft.queries.Graph.all ++
       graft.queries.Tokenize.all ++
-      graft.queries.Orc.all
+      graft.queries.Orc.all ++
+      graft.queries.Pipeline.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -53,12 +53,13 @@ object Classifier {
     score(t.documents).orderBy(col("doc_id"))
   }
 
-  /** The q117 body over any (doc_id, text) frame — factored so
-    * SemanticSpec can pin hand-computed weights on tiny fixtures.
+  /** Input + the exact-integer `raw` score and feature list — the
+    * reusable gate stage (q121 composes it; q117 reports on it).
+    * Keeps every input column so a pipeline can gate and keep going.
     */
-  private[graft] def score(docs: DataFrame): DataFrame =
+  private[graft] def withRaw(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .withColumn("fl", expr(
         "array_distinct(transform(sequence(0, size(w) - 2)," +
@@ -66,6 +67,12 @@ object Classifier {
       .withColumn("raw", expr(
         "aggregate(fl, 0L, (acc, f) ->" +
           " acc + CAST(conv(substring(md5(f), 1, 4), 16, 10) AS BIGINT) - 32768L)"))
+
+  /** The q117 body over any (doc_id, text) frame — factored so
+    * SemanticSpec can pin hand-computed weights on tiny fixtures.
+    */
+  private[graft] def score(docs: DataFrame): DataFrame =
+    withRaw(docs.select(col("doc_id"), col("text")))
       .withColumn("n_features", size(col("fl")).cast("long"))
       .select(
         col("doc_id"),

@@ -214,6 +214,28 @@ class SemanticSpec extends SparkSpec {
       s"pair volume per vector grew: $small -> $large (knob not engaged)")
   }
 
+  test("q121 funnel is monotone and every stage does real work") {
+    val rows = run("q121_curation_end2end").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chain = Seq("n_input", "n_scored_keep", "n_not_boiler",
+        "n_unique", "n_sampled").map(r.getAs[Long])
+      assert(chain == chain.sorted.reverse,
+        s"funnel not monotone for ${r.getAs[String]("source")}: $chain")
+      assert(r.getAs[Long]("n_shards") <= r.getAs[Long]("n_sampled"))
+    }
+    // the gates that can fire on this corpus do fire (exact dedup
+    // legitimately drops nothing downstream of the boilerplate gate:
+    // identical texts share ALL shingles, so exact duplicates are a
+    // subset of the boilerplate class and die one stage earlier —
+    // the stage still guards pipelines whose dup docs are short)
+    def total(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(total("n_scored_keep") < total("n_input"))
+    assert(total("n_not_boiler") < total("n_scored_keep"))
+    assert(total("n_sampled") < total("n_unique"))
+    assert(total("n_sampled") > 0L)
+  }
+
   test("q117 is a pure projection: no hash exchange in the plan") {
     val plan = planOf(run("q117_classifier_score"))
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -27,8 +27,11 @@ sbt -batch compile Test/compile
 if [[ "${1:-}" == "--all" ]]; then
   QUERIES=""
 else
-  # query names defined in files touched since the last commit
-  CHANGED=$(git diff HEAD --name-only -- 'src/main/scala' || true)
+  # query names defined in files touched since the last commit —
+  # including UNTRACKED files (a brand-new query file is invisible to
+  # `git diff HEAD`, which is exactly the r9 q121 near-miss)
+  CHANGED=$( (git diff HEAD --name-only -- 'src/main/scala';
+              git ls-files --others --exclude-standard -- 'src/main/scala') | sort -u || true)
   if [[ -z "$CHANGED" ]]; then
     echo "== preflight: no src/main changes — compile-only gate PASSED =="
     exit 0
