@@ -57,7 +57,8 @@ object Registry {
       graft.queries.Graph.all ++
       graft.queries.Tokenize.all ++
       graft.queries.Orc.all ++
-      graft.queries.Pipeline.all
+      graft.queries.Pipeline.all ++
+      graft.queries.SqlSurface.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
