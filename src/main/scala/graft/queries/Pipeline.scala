@@ -91,10 +91,14 @@ object Pipeline {
       |ORDER BY i.source""".stripMargin) { t =>
     import graft.operators.{Dedup => D, PrefixSum, Sampling}
 
-    val keep1 = Classifier
+    // the classifier fold (an md5 per distinct bigram) is the
+    // pipeline's priciest projection and feeds FOUR branches
+    // (boilerplate input, the anti-join, the funnel count, and
+    // everything downstream) — materialize it once
+    val keep1 = graft.CacheScope.trackedCache(Classifier
       .withRaw(t.documents.select(col("doc_id"), col("source"), col("text"), col("n_chars")))
       .filter(col("raw") > 0)
-      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars")))
 
     // boilerplate verdicts computed WITHIN the classifier survivors
     val boilerIds = Boilerplate.profile(keep1.select(col("doc_id"), col("text")), k = 5)
@@ -102,7 +106,8 @@ object Pipeline {
       .select(col("doc_id"))
     val keep2 = keep1.join(boilerIds, Seq("doc_id"), "left_anti")
 
-    val surv = D.exactByContent(keep2, "text", "doc_id")
+    // survivors feed the funnel count AND the sampling/packing tail
+    val surv = graft.CacheScope.trackedCache(D.exactByContent(keep2, "text", "doc_id"))
 
     val samp = Sampling.mixtureSample(
       surv, col("source"), col("text"),
