@@ -58,7 +58,10 @@ object Registry {
       graft.queries.Tokenize.all ++
       graft.queries.Orc.all ++
       graft.queries.Pipeline.all ++
-      graft.queries.SqlSurface.all
+      graft.queries.SqlSurface.all ++
+      graft.queries.SchemaDrift.all ++
+      graft.queries.SeqPattern.all ++
+      graft.queries.Winsorize.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
