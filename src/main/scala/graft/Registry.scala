@@ -61,7 +61,10 @@ object Registry {
       graft.queries.SqlSurface.all ++
       graft.queries.SchemaDrift.all ++
       graft.queries.SeqPattern.all ++
-      graft.queries.Winsorize.all
+      graft.queries.Winsorize.all ++
+      graft.queries.Chunking.all ++
+      graft.queries.Collocation.all ++
+      graft.queries.NodeSim.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
