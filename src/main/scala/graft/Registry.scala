@@ -64,7 +64,11 @@ object Registry {
       graft.queries.Winsorize.all ++
       graft.queries.Chunking.all ++
       graft.queries.Collocation.all ++
-      graft.queries.NodeSim.all
+      graft.queries.NodeSim.all ++
+      graft.queries.Dsir.all ++
+      graft.queries.Regression.all ++
+      graft.queries.Drift.all ++
+      graft.queries.CompressionQuality.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

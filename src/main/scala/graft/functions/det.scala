@@ -31,6 +31,15 @@ object det {
   val D20_6: DecimalType = DataTypes.createDecimalType(20, 6)
   /** Wider variant for sums of squares / large products. */
   val D28_6: DecimalType = DataTypes.createDecimalType(28, 6)
+  /** Narrow variant for quantizing a small per-group TERM (e.g. an ln
+    * value) BEFORE an exact integer-weighted decimal sum — the q129
+    * lesson: quantize at the few-hundred-distinct-values surface, not
+    * per row, and never `round(…, 4)` an exact decimal sum (a sum
+    * ending in …50 at the 5th decimal is a GUARANTEED half-tie, and
+    * Spark's decimal-string HALF_UP disagrees with DuckDB's binary
+    * rounding on it — P ≈ 1/100 per row, not measure-zero).
+    */
+  val D18_6: DecimalType = DataTypes.createDecimalType(18, 6)
 
   /** Order-independent, cross-engine-exact sum of a double column. */
   def dsum(c: Column): Column = sum(c.cast(D20_6)).cast("double")

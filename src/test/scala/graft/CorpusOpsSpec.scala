@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Chunking, Collocation, NodeSim}
+import graft.queries.{Chunking, Collocation, CompressionQuality, NodeSim}
 
 /** Behavioral + plan-shape checks for the round-9 corpus/graph ops
   * (q126 token chunking, q127 PMI collocations, q128 neighbor
@@ -100,5 +100,40 @@ class CorpusOpsSpec extends SparkSpec {
     // pendant edge: no common neighbor → 0 via the left-join fill
     assert(out((1L, 4L)).getAs[Long]("n_common") == 0L
       && out((1L, 4L)).getAs[Double]("jaccard") == 0.0)
+  }
+
+  // ---- q132: compression-ratio quality gate ----
+
+  test("q132 bands: templated ≫ natural ≫ random, ladder fires correctly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val printable = (33 to 126).map(_.toChar).mkString
+    val docs = Seq(
+      (1L, Seq.fill(300)("spam ham").mkString(" ")),                     // templated
+      (2L, "the quick brown fox jumps over a lazy dog while seven " +
+        "wizards brew quirky potions behind the velvet curtain and " +
+        "marginal taxes rise gently across the northern provinces " +
+        "during an otherwise unremarkable fiscal quarter of reforms"),   // natural prose
+      (3L, Seq.fill(2000)(printable(rnd.nextInt(printable.length))).mkString)) // random
+      .toDF("doc_id", "text")
+    val out = CompressionQuality.withVerdict(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val (rt, rn, rr) = (out(1L).getAs[Double]("ratio"),
+      out(2L).getAs[Double]("ratio"), out(3L).getAs[Double]("ratio"))
+    assert(rt > rn && rn > rr, s"band order violated: $rt / $rn / $rr")
+    assert(out(1L).getAs[String]("verdict") == "templated")
+    assert(out(2L).getAs[String]("verdict") == "natural")
+    assert(out(3L).getAs[String]("verdict") == "incompressible")
+  }
+
+  test("q132 deflates inside the one scan stage: no exchange before the rollup") {
+    val df = run("q132_compression_quality")
+    df.collect()
+    assert(shuffles(df).size <= 2,
+      s"q132 expected rollup + sort exchanges only, got ${shuffles(df).size}")
+    val scans = physicalNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"q132 must profile in one documents scan, got ${scans.size}")
   }
 }
