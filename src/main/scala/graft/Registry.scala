@@ -68,7 +68,10 @@ object Registry {
       graft.queries.Dsir.all ++
       graft.queries.Regression.all ++
       graft.queries.Drift.all ++
-      graft.queries.CompressionQuality.all
+      graft.queries.CompressionQuality.all ++
+      graft.queries.FuzzyMatch.all ++
+      graft.queries.Concurrency.all ++
+      graft.queries.KAnonymity.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
