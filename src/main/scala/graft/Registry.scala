@@ -71,7 +71,9 @@ object Registry {
       graft.queries.CompressionQuality.all ++
       graft.queries.FuzzyMatch.all ++
       graft.queries.Concurrency.all ++
-      graft.queries.KAnonymity.all
+      graft.queries.KAnonymity.all ++
+      graft.queries.Ewma.all ++
+      graft.queries.PrefixJoin.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
