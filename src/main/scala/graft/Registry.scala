@@ -73,7 +73,9 @@ object Registry {
       graft.queries.Concurrency.all ++
       graft.queries.KAnonymity.all ++
       graft.queries.Ewma.all ++
-      graft.queries.PrefixJoin.all
+      graft.queries.PrefixJoin.all ++
+      graft.queries.Changepoint.all ++
+      graft.queries.Markov.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
