@@ -75,7 +75,9 @@ object Registry {
       graft.queries.Ewma.all ++
       graft.queries.PrefixJoin.all ++
       graft.queries.Changepoint.all ++
-      graft.queries.Markov.all
+      graft.queries.Markov.all ++
+      graft.queries.Melt.all ++
+      graft.queries.Basket.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
