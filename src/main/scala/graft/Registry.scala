@@ -77,7 +77,9 @@ object Registry {
       graft.queries.Changepoint.all ++
       graft.queries.Markov.all ++
       graft.queries.Melt.all ++
-      graft.queries.Basket.all
+      graft.queries.Basket.all ++
+      graft.queries.Survival.all ++
+      graft.queries.Benford.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

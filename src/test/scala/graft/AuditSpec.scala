@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.{Benford, Survival}
+
+/** Behavioral checks for q142 (Kaplan-Meier survival) and q143
+  * (Benford first-digit audit): the textbook KM worked example with
+  * interleaved censoring, the everyone-churns collapse to S = 0, the
+  * censored-only tail keeping S flat, an exact-Benford sample with
+  * chi2 ~ 0, and a constant-digit counterexample blowing chi2 up.
+  */
+class AuditSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: String)(rows: Seq[Row]) =
+    spark.createDataFrame(rows.asJava, StructType.fromDDL(schema))
+
+  private def kmRows(durs: Seq[(Long, Boolean)]) =
+    Survival.km(
+      df("dur LONG, churned BOOLEAN")(durs.map { case (d, e) => Row(d, e) }),
+      "dur", "churned")
+      .orderBy("t").collect()
+
+  // ---- q142: Kaplan-Meier ----
+
+  test("q142 textbook worked example with interleaved censoring") {
+    // Subjects: churn@1, churn@1, censor@2, churn@3, censor@3
+    //   t=1: n=5, d=2  → S = 3/5                       = 0.6
+    //   t=2: n=3, d=0  → S unchanged                   = 0.6
+    //   t=3: n=2, d=1  → S = 0.6 * 1/2                 = 0.3
+    val out = kmRows(Seq((1L, true), (1L, true), (2L, false), (3L, true), (3L, false)))
+    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_at_risk")).toSeq == Seq(5L, 3L, 2L))
+    assert(out.map(_.getAs[Long]("d")).toSeq == Seq(2L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("c")).toSeq == Seq(0L, 1L, 1L))
+    val s = out.map(_.getAs[Double]("surv"))
+    assert(math.abs(s(0) - 0.6) < 1e-3 && math.abs(s(1) - 0.6) < 1e-3)
+    assert(math.abs(s(2) - 0.3) < 1e-3)
+  }
+
+  test("q142 d = n collapse: survival hits exactly 0.0 and stays there") {
+    // t=1: 1 of 3 churns (S=2/3); t=2: BOTH remaining churn (d=n → 0).
+    val out = kmRows(Seq((1L, true), (2L, true), (2L, true)))
+    val s = out.map(_.getAs[Double]("surv"))
+    assert(math.abs(s(0) - 2.0 / 3.0) < 1e-3)
+    assert(s(1) == 0.0)
+  }
+
+  test("q142 censoring alone never moves the curve") {
+    val out = kmRows(Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+    val s = out.map(_.getAs[Double]("surv"))
+    assert(s.forall(v => math.abs(v - 0.75) < 1e-3))
+  }
+
+  // ---- q143: Benford ----
+
+  test("q143 exact-Benford sample has chi2 ~ 0 and full spine") {
+    // 1000 * log10(1+1/d) rounded: 301,176,125,97,79,67,58,51,46
+    val counts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(Row((i + 1) * 100.0 + 7.0))
+    }
+    val out = Benford.audit(df("v DOUBLE")(rows), "v").orderBy("digit").collect()
+    assert(out.length == 9)
+    assert(out.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(out.map(_.getAs[Long]("n_obs")).sum == counts.sum.toLong)
+    assert(out.head.getAs[Double]("chi2") < 0.1)
+  }
+
+  test("q143 constant-digit data blows the statistic up, zero digits still charged") {
+    val out = Benford.audit(df("v DOUBLE")(Seq.fill(900)(Row(9000.0))), "v")
+      .orderBy("digit").collect()
+    // digit 9 observed 900, all others 0 but present with expected mass
+    assert(out.count(_.getAs[Long]("n_obs") == 0L) == 8)
+    assert(out.last.getAs[Long]("n_obs") == 900L)
+    assert(out.head.getAs[Double]("chi2") > 1000.0)
+  }
+
+  test("q143 digit extraction is integer-exact at powers of ten and sub-1 filter") {
+    val out = Benford.audit(
+      df("v DOUBLE")(Seq(Row(1000.0), Row(999.99), Row(0.5), Row(10.0))), "v")
+      .orderBy("digit").collect()
+    val byDigit = out.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+    assert(byDigit(1) == 2L && byDigit(9) == 1L) // 0.5 filtered out
+    assert(out.head.getAs[Long]("n_total") == 3L)
+  }
+}
