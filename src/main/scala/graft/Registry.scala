@@ -79,7 +79,9 @@ object Registry {
       graft.queries.Melt.all ++
       graft.queries.Basket.all ++
       graft.queries.Survival.all ++
-      graft.queries.Benford.all
+      graft.queries.Benford.all ++
+      graft.queries.Twap.all ++
+      graft.queries.Acf.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
