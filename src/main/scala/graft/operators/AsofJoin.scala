@@ -66,4 +66,44 @@ object AsofJoin {
       .select(left.columns.map(col).toIndexedSeq ++
         payload.map(c => col(s"graft_payload.$c").as(c)): _*)
   }
+
+  /** Forward as-of join — attach to each left row the single EARLIEST
+    * right row with `rightTime >= leftTime` for the same key (the
+    * time-to-next-event direction: next error after a purchase, next
+    * quote after an order). Same union-merge plan as [[backward]] —
+    * one exchange, one sort, a `first(payload, ignoreNulls)` window
+    * over the FOLLOWING frame — with the tie order flipped: at equal
+    * instants the left row sorts BEFORE the right row, so a same-time
+    * right row is inside the left row's frame and matches (>=).
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val payload = right.columns.filter(_ != keyCol).toSeq
+    require(!payload.exists(left.columns.contains),
+      s"left already has right payload columns: ${payload.filter(left.columns.contains).mkString(",")}")
+    val internal = Seq("graft_t", "graft_side", "graft_payload")
+    val clash = internal.filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"inputs must not contain the asof-join internal columns: ${clash.mkString(",")}")
+    val l = left
+      .withColumn("graft_t", col(leftTimeCol))
+      .withColumn("graft_side", lit(0))
+    // a null right time cannot satisfy `rightTime >= leftTime`; NULLS
+    // LAST would park it at the frame end where first(ignoreNulls)
+    // could still pick it up — drop such rows up front
+    val r = right
+      .filter(col(rightTimeCol).isNotNull)
+      .withColumn("graft_t", col(rightTimeCol))
+      .withColumn("graft_side", lit(1))
+      .withColumn("graft_payload", struct(payload.map(col): _*))
+      .drop(payload: _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("graft_t"), col("graft_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("graft_payload", first(col("graft_payload"), ignoreNulls = true).over(w))
+      .filter(col("graft_side") === 0)
+      .select(left.columns.map(col).toIndexedSeq ++
+        payload.map(c => col(s"graft_payload.$c").as(c)): _*)
+  }
 }
