@@ -27,6 +27,7 @@ object SqlFunctions {
     reg(spark, "graft_simhash64", es => SimHash64(es(0)))
     reg(spark, "graft_text_profile", es => TextProfile(es(0)))
     reg(spark, "graft_compression_stats", es => CompressionStats(es(0)))
+    reg(spark, "graft_jaro_winkler", es => JaroWinkler(es(0), es(1)))
     reg(spark, "graft_nearest_centroid", es => NearestCentroid(es(0), es(1)))
     reg(spark, "graft_sig_agreement", es => SignatureAgreement(es(0), es(1)))
     reg(spark, "graft_minhash", es => MinHashSignature(es(0), intKnob(es, 1)))
