@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.det
+
+/** q157: GINI COEFFICIENT / Lorenz concentration — how unequally
+  * revenue concentrates across customers (the whale-dependence
+  * statistic behind "top 1 % of users drive X %" and the risk metric
+  * every marketplace/LTV review wants): the sorted-rank identity
+  * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spend sorted ascending,
+  * plus the Lorenz top-decile share. q154's entropy measures
+  * diversity of a CATEGORICAL distribution; Gini measures inequality
+  * of a CONTINUOUS mass.
+  *
+  * Determinism: ranks tiebreak on custkey (total order — the q124
+  * lesson); Σ i·xᵢ routes each product through DECIMAL(28,6) (§6 —
+  * the product of an exact rank and a 2-decimal spend has ≤ 2
+  * decimals, so the cast is EXACT, not rounding); the closing
+  * G expression is identical IEEE both sides, round 4 (the
+  * big-decimal→double rule). Top-decile membership is pure integer
+  * arithmetic (10·(n−i) < n picks the top ⌈n/10⌉ ranks — no floats
+  * near the boundary).
+  *
+  * Scale shape: fact → one per-customer rollup (map-side combined);
+  * the rank is a GLOBAL sort of the customer frame (the honest cost
+  * of an exact Gini; the sketch swap is a quantile-binned Lorenz
+  * approximation); everything after is one bounded fold.
+  */
+object Gini {
+
+  /** Gini + top-decile share over per-subject (id, spend) rows.
+    * Factored so the spec can pin perfect equality (G = 0), the
+    * one-whale extreme, and the decile arithmetic.
+    */
+  def gini(perCust: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val ranked = perCust
+      .withColumn("graft_i",
+        row_number().over(Window.orderBy(col(valCol), col(idCol))).cast("long"))
+      .withColumn("graft_n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .agg(
+        max(col("graft_n")).as("n"),
+        sum(col(valCol).cast(det.D28_6)).as("graft_sx"),
+        sum((col("graft_i") * col(valCol)).cast(det.D28_6)).as("graft_six"),
+        sum(when(lit(10) * (col("graft_n") - col("graft_i")) < col("graft_n"),
+          col(valCol)).otherwise(lit(0.0)).cast(det.D28_6)).as("graft_top"))
+      .select(
+        col("n"),
+        round(
+          lit(2.0) * col("graft_six").cast("double") /
+            (col("n").cast("double") * col("graft_sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 4).as("gini"),
+        round(col("graft_top").cast("double") / col("graft_sx").cast("double"), 4)
+          .as("top_decile_share"))
+  }
+
+  val q157 = Q.of(
+    "q157_gini_concentration",
+    """WITH per_cust AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS spend
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT o_custkey, spend,
+      |    CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i,
+      |    COUNT(*) OVER () AS n
+      |  FROM per_cust
+      |)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |  round(2.0 * CAST(SUM(CAST(i * spend AS DECIMAL(28,6))) AS DOUBLE)
+      |      / (CAST(MAX(n) AS DOUBLE)
+      |         * CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE))
+      |    - CAST(MAX(n) + 1 AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 4) AS gini,
+      |  round(CAST(SUM(CAST(CASE WHEN 10 * (n - i) < n THEN spend ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE), 4)
+      |    AS top_decile_share
+      |FROM ranked""".stripMargin) { t =>
+    gini(
+      t.orders.groupBy(col("o_custkey"))
+        .agg(det.dsumw(col("o_totalprice")).as("spend")),
+      "o_custkey", "spend")
+  }
+
+  def all: Seq[Q] = Seq(q157)
+}
