@@ -43,9 +43,16 @@ object Basket {
     */
   def lift(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Int = MinSupport): DataFrame = {
+    // persist the compact per-basket frame: pairs, marginals, and the
+    // basket total all read it, and without materialization Catalyst
+    // re-runs the fact scan + basket exchange once PER BRANCH (three
+    // fact passes, observed in the q141 plan audit). One row per
+    // basket with a ≤|alphabet| array — MEMORY_AND_DISK spills safely
+    // at scale; Bench's clearCache() between runs keeps timings honest.
     val sets = baskets
       .groupBy(col(basketCol))
       .agg(sort_array(collect_set(col(itemCol))).as("graft_items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sets
       .select(col("graft_items"), posexplode(col("graft_items")).as(Seq("graft_i", "brand_a")))
       .select(col("brand_a"),
