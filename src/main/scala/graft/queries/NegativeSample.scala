@@ -37,7 +37,13 @@ object NegativeSample {
     */
   def negatives(positives: DataFrame, items: DataFrame, subjCol: String,
       itemCol: String, k: Int = K): DataFrame = {
+    // persist the distinct positive frame: the subject list and the
+    // anti-join both read it, and unmaterialized each branch re-runs
+    // the full upstream join pipeline (observed: 18 parquet scans in
+    // the q167 plan audit before this). Bounded by subjects × the
+    // item vocabulary.
     val pos = positives.select(col(subjCol), col(itemCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pos.select(col(subjCol)).distinct()
       .crossJoin(broadcast(items.select(col(itemCol)).distinct()))
     val neg = cand.join(pos, Seq(subjCol, itemCol), "left_anti")

@@ -32,10 +32,15 @@ object Retention {
     * the spec can pin a hand-built two-cohort design with known decay.
     */
   def triangle(activity: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    // persist the compact (user, week) frame: the cohort min, the
+    // cohort sizes, and the triangle join all read it — without
+    // materialization each branch re-scans the fact (3 scans in the
+    // pre-fix plan audit)
     val weeks = activity
       .select(col(userCol),
         floor(datediff(col(dayCol), to_date(lit("1970-01-01"))) / 7).as("graft_w"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cohorts = weeks
       .groupBy(col(userCol))
       .agg(min(col("graft_w")).as("graft_c"))

@@ -116,7 +116,10 @@ object Survival {
       .groupBy(col("o_custkey"))
       .agg(to_date(min(col("o_orderdate"))).as("f"),
         to_date(max(col("o_orderdate"))).as("l"))
-    val obsEnd = perCust.agg(max(col("l")).as("obs_end"))
+    // max(last order per customer) == max(order date): take it from a
+    // direct min/max scan (footer-stats shaped at 100 TB) instead of
+    // re-running perCust's customer exchange a second time
+    val obsEnd = t.orders.agg(to_date(max(col("o_orderdate"))).as("obs_end"))
     val durs = perCust.crossJoin(broadcast(obsEnd))
       .select(
         floor(datediff(col("l"), col("f")) / lit(30)).cast("long").as("dur_m"),
