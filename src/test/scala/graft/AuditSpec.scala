@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
-import graft.queries.{Benford, Survival}
+import graft.queries.{Benford, LDiversity, Survival}
 
 /** Behavioral checks for q142 (Kaplan-Meier survival) and q143
   * (Benford first-digit audit): the textbook KM worked example with
@@ -85,5 +85,34 @@ class AuditSpec extends SparkSpec {
     val byDigit = out.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
     assert(byDigit(1) == 2L && byDigit(9) == 1L) // 0.5 filtered out
     assert(out.head.getAs[Long]("n_total") == 3L)
+  }
+
+  // ---- q174: l-diversity ----
+
+  private def ldiv(rows: Seq[(String, String, String)]) =
+    LDiversity.audit(
+      df("a STRING, b STRING, s STRING")(rows.map { case (x, y, z) => Row(x, y, z) }),
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"),
+      org.apache.spark.sql.functions.col("s"), 3)
+      .collect()
+      .map(r => (r.getAs[String]("qa"), r.getAs[String]("qb")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("l_distinct"),
+          r.getAs[Double]("max_share"), r.getAs[Boolean]("at_risk"))))
+      .toMap
+
+  test("q174 homogeneous k-large group is exactly the attack k-anonymity misses") {
+    val out = ldiv(
+      Seq.fill(20)(("n1", "SEG", "premium")) ++ // k-safe, zero diversity
+        Seq(("n2", "SEG", "premium"), ("n2", "SEG", "standard"),
+          ("n2", "SEG", "delinquent"), ("n2", "SEG", "premium")))
+    assert(out(("n1", "SEG")) == ((20L, 1L, 1.0, true)))
+    assert(out(("n2", "SEG")) == ((4L, 3L, 0.5, false)))
+  }
+
+  test("q174 max_share is the exact largest-cell ratio") {
+    val out = ldiv(Seq(("n", "S", "a"), ("n", "S", "a"), ("n", "S", "a"),
+      ("n", "S", "b"), ("n", "S", "c")))
+    assert(out(("n", "S")) == ((5L, 3L, 3.0 / 5.0, false)))
   }
 }

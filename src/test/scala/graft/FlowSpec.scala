@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
-import graft.queries.{Bollinger, GrowthAccounting}
+import graft.queries.{Bollinger, GrowthAccounting, RollingDistinct}
 
 /** Behavioral checks for q168 (Bollinger bands) and q169 (growth
   * accounting): a flat-then-spike series where exactly the spike
@@ -86,5 +86,37 @@ class FlowSpec extends SparkSpec {
         r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
           r.getAs[Long]("n_resurrected"))
     }
+  }
+
+  // ---- q173: rolling distinct actives ----
+
+  private def actives(rows: Seq[(Long, Int)]) = {
+    def d(i: Int) = Date.valueOf(f"2024-03-${i}%02d")
+    RollingDistinct.trailingActives(
+      df("u LONG, day DATE")(rows.map { case (u, i) => Row(u, d(i)) }),
+      "u", "day", 7)
+      .collect()
+      .map(r => r.getAs[Date]("day").toString.takeRight(2).toInt ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Double]("stickiness"))))
+      .toMap
+  }
+
+  test("q173 window edge: day 8 forgets day 1, day 7 still sees it") {
+    val out = actives(Seq((1L, 1), (2L, 7), (2L, 8)))
+    assert(out(7) == ((1L, 2L, 0.5))) // u1 (day 1) still in the trailing 7
+    assert(out(8) == ((1L, 1L, 1.0))) // day 1 aged out
+  }
+
+  test("q173 returning user counts once in the window") {
+    val out = actives(Seq((1L, 3), (1L, 4), (1L, 5), (2L, 5)))
+    assert(out(5) == ((2L, 2L, 1.0))) // u1 thrice-active collapses to 1
+    assert(out(3) == ((1L, 1L, 1.0))) // isolated day: DAU = WAU
+  }
+
+  test("q173 only observed days are emitted and DAU <= WAU everywhere") {
+    val out = actives(Seq((1L, 1), (1L, 20), (2L, 20), (3L, 21)))
+    assert(out.keySet == Set(1, 20, 21)) // no spine days between bursts
+    out.values.foreach { case (dau, wau, _) => assert(dau <= wau) }
+    assert(out(21) == ((1L, 3L, 1.0 / 3.0)))
   }
 }

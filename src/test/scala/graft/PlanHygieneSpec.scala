@@ -33,10 +33,25 @@ class PlanHygieneSpec extends SparkSpec {
     *    are the scale path for when the query set itself grows
     *    (SURVEY §5). q88's streamed side is the 8-byte PQ codes, the
     *    cheapest per-pair scan of the family.
+    *  - q153 — Theil-Sen IS the median of all pairwise slopes: the
+    *    x1 < x2 self-join runs over the CALENDAR-BOUNDED daily
+    *    aggregate (never the fact; ~66 k pairs/year, TheilSen.scala
+    *    scale notes), and a day-keyed aggregate is exactly what the
+    *    broadcast side should be. provablyTiny can't see grouping-key
+    *    boundedness, so the design is recorded here instead.
+    *  - q165 — the contingency spine is distinct(rows) × distinct(cols)
+    *    of two DIM attributes (nations × priorities, ≤ 25×5): the
+    *    densification that charges zero cells their expected mass
+    *    (ChiSquare.scala) has no join key by definition.
+    *  - q167 — candidates are customers × the ~25-row brand VOCABULARY
+    *    (never item instances; NegativeSample.scala scale notes): the
+    *    complement sample needs every (customer, brand) pair, and the
+    *    broadcast side is the bounded vocabulary.
     */
   private val allowedBnlj = Set(
     "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
-    "q88_ann_pq")
+    "q88_ann_pq", "q153_theil_sen", "q165_chi_square",
+    "q167_negative_sampling")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
