@@ -77,4 +77,75 @@ class GraphMetricsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- q179 k-core peeling ----
+
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int = 3) = {
+    val rows = edges.map { case (a, b) => Row(a, b) }
+    graft.queries.KCore.corePeel(
+      spark.createDataFrame(rows.asJava, StructType.fromDDL("pa LONG, pb LONG")),
+      k, rounds)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+  }
+
+  test("q179 core plus tendril: the cascade peels outside-in") {
+    // K4 core {1,2,3,4} + node 5 wired to {3,4,6}: 6 falls round 1
+    // (deg 1); 5 starts at deg 3 and only drops below k once 6 is
+    // gone, so it falls round 2; the core survives at deg 3 (3 and 4
+    // lose their edge to 5 in round 2's prune)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = peel(k4 ++ Seq((3L, 5L), (4L, 5L), (5L, 6L)), 3)
+    assert(out(6L) == ((1L, -1L)))
+    assert(out(5L) == ((2L, -1L)))
+    Seq(1L, 2L, 3L, 4L).foreach(v => assert(out(v) == ((0L, 3L))))
+  }
+
+  test("q179 isolated nodes (all edges peeled) are removed, not forgotten") {
+    // star: center 1 with leaves 2..5 at k=2 — leaves fall round 1,
+    // center becomes degree-0 and must fall round 2 via the zero-fill
+    val out = peel(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), 2)
+    Seq(2L, 3L, 4L, 5L).foreach(v => assert(out(v) == ((1L, -1L))))
+    assert(out(1L) == ((2L, -1L)))
+  }
+
+  test("q179 converged graph: extra rounds change nothing") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(peel(g, 3, rounds = 3) == peel(g, 3, rounds = 5))
+  }
+
+  test("q179 matches an iterative reference on fixed random graphs") {
+    val rnd = new scala.util.Random(179179L)
+    for (trial <- 0 until 3) {
+      val n = 20
+      val edges = (for {
+        a <- 1L to n
+        b <- (a + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      // reference synchronous peel
+      var alive = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.toSet
+      var cur = edges
+      val elim = scala.collection.mutable.Map.empty[Long, Long]
+      for (r <- 1 to 3) {
+        val deg = alive.map(v =>
+          v -> cur.count { case (a, b) => a == v || b == v }).toMap
+        val rm = alive.filter(deg(_) < 3)
+        rm.foreach(v => elim(v) = r.toLong)
+        alive = alive -- rm
+        cur = cur.filter { case (a, b) => alive(a) && alive(b) }
+      }
+      val degF = alive.map(v =>
+        v -> cur.count { case (a, b) => a == v || b == v }.toLong).toMap
+      val out = peel(edges, 3)
+      assert(out.keySet == (alive ++ elim.keySet), s"trial $trial node set")
+      out.foreach { case (v, (er, fd)) =>
+        assert(er == elim.getOrElse(v, 0L), s"trial $trial elim($v)")
+        assert(fd == (if (elim.contains(v)) -1L else degF(v)), s"trial $trial deg($v)")
+      }
+    }
+  }
 }

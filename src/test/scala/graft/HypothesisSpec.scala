@@ -4,11 +4,11 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.queries.{KsTest, MannWhitney}
+import graft.queries.{CrossCorr, KsTest, MannWhitney}
 
-/** q171 KS distance / q172 Mann–Whitney U: hand-computed statistics,
-  * tie rules, degenerate-sample guards, and fixed-seed differentials
-  * against brute-force references.
+/** q171 KS distance / q172 Mann–Whitney U / q178 cross-correlation:
+  * hand-computed statistics, tie rules, degenerate-sample guards, and
+  * fixed-seed differentials against brute-force references.
   */
 class HypothesisSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
@@ -104,6 +104,64 @@ class HypothesisSpec extends SparkSpec {
         (2.0 * math.sqrt(sig2)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getAs[Double]("z") - z) < 1e-9, s"trial $trial z")
+    }
+  }
+
+  // ---- q178 cross-correlation ----
+
+  private def ccf(xs: Seq[Long], ys: Seq[Long]) = {
+    val rows = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      Row(i.toLong, x, y)
+    }
+    CrossCorr.ccf(
+      spark.createDataFrame(rows.asJava, StructType.fromDDL("d LONG, x LONG, y LONG")),
+      "d")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+  }
+
+  test("q178 shifted copy peaks exactly at the shift") {
+    // y is x led by 2 days: corr(x_t, y_{t+?}) peaks at k = -2
+    // (y at t-2 equals x at t... construct y_t = x_{t+2})
+    val x = Seq(5L, 9L, 2L, 7L, 4L, 8L, 1L, 6L, 3L, 9L, 5L, 2L)
+    val y = x.drop(2) ++ Seq(0L, 0L)
+    val out = ccf(x, y)
+    // k = -2 pairs x_t with y_{t-2} = x_t -> perfect correlation
+    assert(out(-2L)._2 == 1.0)
+    assert(out(-2L)._1 == x.size - 2) // overlap loses |k| pairs
+    assert(out(0L)._2 < 1.0)
+  }
+
+  test("q178 self series is symmetric with ccf(0) = 1") {
+    val x = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val out = ccf(x, x)
+    assert(out(0L) == ((x.size.toLong, 1.0)))
+    // ccf(k) on x vs itself equals ccf(-k): same pair set re-centered
+    for (k <- 1L to 3L) assert(out(k)._2 == out(-k)._2, s"k=$k")
+  }
+
+  test("q178 matches a brute-force Pearson per lag on fixed random series") {
+    val rnd = new scala.util.Random(178178L)
+    val x = Seq.fill(40)(rnd.nextInt(50).toLong)
+    val y = Seq.fill(40)(rnd.nextInt(50).toLong)
+    val out = ccf(x, y)
+    for (k <- -3 to 3) {
+      // pair x_t with y_{t+k} where both exist
+      val pairs = x.indices.flatMap { t =>
+        val u = t + k
+        if (u >= 0 && u < y.size) Some((x(t), y(u))) else None
+      }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val ref = BigDecimal((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(k.toLong)._1 == pairs.size.toLong, s"k=$k n_pairs")
+      assert(math.abs(out(k.toLong)._2 - ref) < 1e-9, s"k=$k ccf")
     }
   }
 }
