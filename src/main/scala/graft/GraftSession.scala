@@ -34,5 +34,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read as long + convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan STRINGS are for humans — cap them. An InMemoryRelation
+      // prints its full child plan at every reference, so an iterative
+      // query whose round-r cache references round r-1's four times
+      // (q179) yields an exponentially long EXPLAIN even though
+      // execution is linear; AQE stringifies the plan on every update
+      // and an uncapped string OOMs the driver (seen: GraphMetricsSpec
+      // heap death inside QueryExecution.explainString).
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
 }

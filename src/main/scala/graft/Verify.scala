@@ -15,8 +15,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

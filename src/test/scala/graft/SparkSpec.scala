@@ -17,6 +17,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cap plan strings: nested InMemoryRelations print exponentially
+    // (see GraftSession) and AQE's explainString would OOM the test JVM
+    .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
