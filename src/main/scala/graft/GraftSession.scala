@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan CACHED frames too (off by default): every
+      // trackedCache materialization otherwise runs its shuffles at
+      // the static partition count with no runtime coalescing — an
+      // iterative query materializing ~10 tiny cached frames (q179)
+      // pays tens of near-empty 32-task stages in pure scheduling
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
