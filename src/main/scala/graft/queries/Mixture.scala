@@ -13,8 +13,9 @@ import graft.functions.det
   * (the exponentiated-share sampler of mBERT/XLM-R lineage, public)
   * that upsamples tail domains and downsamples the head so the model
   * sees a flatter mixture than the raw corpus. The planner half of
-  * what q78/q79 execute: q78 samples AT given rates; this COMPUTES
-  * the rates from the corpus itself.
+  * what q113 executes: q113 samples AT given per-source rates (and
+  * q160 apportions exact counts); this COMPUTES the rates from the
+  * corpus itself.
   *
   * Determinism (§6): token counts are exact int64; p_raw is ONE IEEE
   * division; τ = 2 means the tempering is `sqrt` — the one
