@@ -108,46 +108,46 @@ object KCore {
 
   val q179 = Q.of(
     "q179_kcore_peel",
-    s"""WITH b AS (
+    s"""WITH b AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-      |), e0 AS (
+      |), e0 AS MATERIALIZED (
       |  SELECT x.pk AS pa, y.pk AS pb
       |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport
       |), nodes AS (
       |  SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
-      |), all_nodes AS (
+      |), all_nodes AS MATERIALIZED (
       |  SELECT node FROM nodes GROUP BY node
       |), d0 AS (
       |  SELECT node, COUNT(*) AS deg FROM nodes GROUP BY node
-      |), rm1 AS (
+      |), rm1 AS MATERIALIZED (
       |  SELECT a.node FROM all_nodes a LEFT JOIN d0 USING (node)
       |  WHERE COALESCE(d0.deg, 0) < $K
-      |), e1 AS (
+      |), e1 AS MATERIALIZED (
       |  SELECT pa, pb FROM e0
       |  WHERE pa NOT IN (SELECT node FROM rm1)
       |    AND pb NOT IN (SELECT node FROM rm1)
-      |), a1 AS (
+      |), a1 AS MATERIALIZED (
       |  SELECT node FROM all_nodes WHERE node NOT IN (SELECT node FROM rm1)
       |), d1 AS (
       |  SELECT node, COUNT(*) AS deg FROM
       |    (SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY node
-      |), rm2 AS (
+      |), rm2 AS MATERIALIZED (
       |  SELECT a.node FROM a1 a LEFT JOIN d1 USING (node)
       |  WHERE COALESCE(d1.deg, 0) < $K
-      |), e2 AS (
+      |), e2 AS MATERIALIZED (
       |  SELECT pa, pb FROM e1
       |  WHERE pa NOT IN (SELECT node FROM rm2)
       |    AND pb NOT IN (SELECT node FROM rm2)
-      |), a2 AS (
+      |), a2 AS MATERIALIZED (
       |  SELECT node FROM a1 WHERE node NOT IN (SELECT node FROM rm2)
       |), d2 AS (
       |  SELECT node, COUNT(*) AS deg FROM
       |    (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY node
-      |), rm3 AS (
+      |), rm3 AS MATERIALIZED (
       |  SELECT a.node FROM a2 a LEFT JOIN d2 USING (node)
       |  WHERE COALESCE(d2.deg, 0) < $K
-      |), e3 AS (
+      |), e3 AS MATERIALIZED (
       |  SELECT pa, pb FROM e2
       |  WHERE pa NOT IN (SELECT node FROM rm3)
       |    AND pb NOT IN (SELECT node FROM rm3)

@@ -150,6 +150,26 @@ object Recall {
       math.abs(est - exactHll(f)).toDouble / exactHll(f) }.max
     put("q100_hll_merge_max_rel_err", err100, 0.05, err100 < 0.05, "bound")
 
+    // ---- q187 KMV retention vs the exact q176 bitmap algebra ----
+    val exact176 = fresh(run("q176_bitmap_retention").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)).toMap)
+    val kmv187 = fresh(run("q187_kmv_retention").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getDouble(1), r.getDouble(2))).toMap)
+    val envK = 3.0 / math.sqrt(256.0) // KmvSpec's 3/sqrt(K) envelope
+    val errActive = kmv187.map { case (mk, (a, _)) =>
+      math.abs(a - exact176(mk)._1) /
+        math.max(envK * exact176(mk)._1, 3.0) * envK }.max
+    val errRetained = kmv187.map { case (mk, (_, r)) =>
+      val (ae, re) = exact176(mk)
+      math.abs(r - re) /
+        math.max(3 * envK * math.max(ae, re + 1.0), 6.0) * (3 * envK) }.max
+    put("q187_kmv_active_max_scaled_err", errActive, envK,
+      errActive <= envK, "bound")
+    put("q187_kmv_retained_max_scaled_err", errRetained, 3 * envK,
+      errRetained <= 3 * envK, "bound")
+
     val allPass = !out.values.exists(_.contains("\"pass\": false"))
     val json = out.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\n  \"sf_dir\": \"" + sfDir + "\",\n  ", ",\n  ", "\n}")
