@@ -23,9 +23,11 @@ import graft.Q
   *
   * Scale shape: ONE distinct (type, day) exchange collapses the fact
   * (calendar × type bounded); the spine is a distinct-day projection
-  * of that same frame (no second fact scan); the expected matrix is
-  * a broadcast cross join of two bounded dims; rollups are bounded.
-  * All integers and dates — hash-exact.
+  * of that same frame (no second fact scan); the expected matrix
+  * folds the group dim to a one-row array broadcast onto the day
+  * frame and exploded (never a many×many cartesian — the
+  * PlanHygiene rule); rollups are bounded. All integers and dates —
+  * hash-exact.
   */
 object Freshness {
 
@@ -40,8 +42,14 @@ object Freshness {
         .distinct())
     val days = p.select(col("graft_d")).distinct()
     val frontier = days.agg(max(col("graft_d")).as("graft_maxd"))
-    val groups = p.select(col("graft_g")).distinct()
-    groups.crossJoin(days)
+    // expected matrix WITHOUT a many×many cartesian (PlanHygiene rule):
+    // the group dim folds to a ONE-ROW array that broadcasts onto the
+    // day frame and explodes — same bounded result, literal-frame BNLJ
+    val groupArr = p.select(col("graft_g")).distinct()
+      .agg(collect_list(col("graft_g")).as("graft_gs"))
+    val expected = days.crossJoin(broadcast(groupArr))
+      .select(explode(col("graft_gs")).as("graft_g"), col("graft_d"))
+    expected
       .join(p.withColumn("graft_hit", lit(1L)), Seq("graft_g", "graft_d"), "left")
       .groupBy(col("graft_g"))
       .agg(

@@ -72,4 +72,69 @@ class RankingEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("hits") == 0L)
     assert(r.getAs[Double]("precision_at_k") == 0.0)
   }
+
+  // ---- q189 MRR / MAP@K ----
+
+  private def eval189(ranked: Seq[(String, Long, Int)], truth: Seq[(String, Long)]) =
+    RankingEval.mrrMapAtK(
+      frame("key STRING, item LONG, rk INT")(
+        ranked.map { case (k, i, r) => Row(k, i, r) }),
+      frame("key STRING, item LONG")(
+        truth.map { case (k, i) => Row(k, i) }))
+      .collect()
+      .map(r => r.getAs[String]("key") -> r)
+      .toMap
+
+  private def q6d(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("q189 textbook AP: hits at ranks 1 and 3 of R=2") {
+    // prec@1 = 1/1, prec@3 = 2/3; AP = (1 + 2/3) / 2; RR = 1
+    val out = eval189(
+      Seq(("k", 1L, 1), ("k", 2L, 2), ("k", 3L, 3)),
+      Seq(("k", 1L), ("k", 3L)))
+    val r = out("k")
+    assert(r.getAs[Double]("rr") == 1.0)
+    assert(r.getAs[Int]("first_hit_rank") == 1)
+    assert(r.getAs[Double]("ap_at_k") ==
+      (q6d(1.0) + q6d(2.0 / 3.0)).toDouble / 2.0)
+  }
+
+  test("q189 first hit deep in the list: rr = 1/rank") {
+    val out = eval189(
+      Seq(("k", 1L, 1), ("k", 2L, 2), ("k", 3L, 3), ("k", 4L, 4)),
+      Seq(("k", 4L)))
+    val r = out("k")
+    assert(r.getAs[Double]("rr") == 0.25)
+    assert(r.getAs[Double]("ap_at_k") == q6d(0.25).toDouble)
+  }
+
+  test("q189 no hits with a real holdout: rr = 0, ap = 0; empty holdout: NULL") {
+    val out = eval189(
+      Seq(("k", 1L, 1), ("k", 2L, 2), ("m", 9L, 1)),
+      Seq(("k", 7L), ("other", 1L)))
+    val k = out("k")
+    assert(k.getAs[Double]("rr") == 0.0 && k.getAs[Double]("ap_at_k") == 0.0)
+    assert(k.isNullAt(k.fieldIndex("first_hit_rank")))
+    val m = out("m")
+    assert(m.isNullAt(m.fieldIndex("rr")))
+    assert(m.isNullAt(m.fieldIndex("ap_at_k")))
+  }
+
+  test("q189 perfect ranking of all R items: ap = 1") {
+    val out = eval189(
+      Seq(("k", 1L, 1), ("k", 2L, 2), ("k", 3L, 3)),
+      Seq(("k", 1L), ("k", 2L), ("k", 3L)))
+    assert(out("k").getAs[Double]("ap_at_k") == 1.0)
+  }
+
+  test("q189 normalizer is min(R, K): R beyond the list doesn't dilute below the cap") {
+    // K defaults to 10; list of 2, R = 3 -> normalizer 3 (= min(3, 10))
+    val out = eval189(
+      Seq(("k", 1L, 1), ("k", 2L, 2)),
+      Seq(("k", 1L), ("k", 2L), ("k", 7L)))
+    val r = out("k")
+    assert(r.getAs[Double]("ap_at_k") ==
+      (q6d(1.0) + q6d(1.0)).toDouble / 3.0)
+  }
 }
