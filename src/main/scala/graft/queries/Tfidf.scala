@@ -135,8 +135,11 @@ object Tfidf {
       |SELECT doc_id, partner, cosine, rk FROM ranked
       |WHERE rk <= $K
       |ORDER BY doc_id, rk""".stripMargin) { t =>
-    CacheScope.withCacheScope {
+    {
       val toks = split(col("text"), " ")
+      // trackedCache (not withCacheScope): the cache must outlive this
+      // builder — Bench/Verify clearCache between queries; library
+      // users wrap calls in CacheScope.withCacheScope themselves.
       val terms = CacheScope.trackedCache(
         t.documents
           .select(col("doc_id"), col("lang"), col("source"),
