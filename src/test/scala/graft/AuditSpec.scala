@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
-import graft.queries.{Benford, LDiversity, Survival}
+import graft.queries.{Benford, LDiversity, Survival, TCloseness}
 
-/** Behavioral checks for q142 (Kaplan-Meier survival) and q143
-  * (Benford first-digit audit): the textbook KM worked example with
-  * interleaved censoring, the everyone-churns collapse to S = 0, the
-  * censored-only tail keeping S flat, an exact-Benford sample with
-  * chi2 ~ 0, and a constant-digit counterexample blowing chi2 up.
+/** Behavioral checks for q142 (Kaplan-Meier survival), q143 (Benford
+  * first-digit audit), q174 (l-diversity) and q205 (t-closeness): the
+  * textbook KM worked example with interleaved censoring, the
+  * everyone-churns collapse to S = 0, the censored-only tail keeping
+  * S flat, an exact-Benford sample with chi2 ~ 0, a constant-digit
+  * counterexample blowing chi2 up, the homogeneity attack, and the
+  * hand-computed total-variation EMD cases incl. the exact t-boundary.
   */
 class AuditSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
@@ -114,5 +116,54 @@ class AuditSpec extends SparkSpec {
     val out = ldiv(Seq(("n", "S", "a"), ("n", "S", "a"), ("n", "S", "a"),
       ("n", "S", "b"), ("n", "S", "c")))
     assert(out(("n", "S")) == ((5L, 3L, 3.0 / 5.0, false)))
+  }
+
+  // ---- q205 t-closeness ----
+
+  private def tclose(rows: Seq[(String, String, String)]) =
+    TCloseness.audit(
+      df("a STRING, b STRING, s STRING")(rows.map { case (x, y, z) => Row(x, y, z) }),
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"),
+      org.apache.spark.sql.functions.col("s"))
+      .collect()
+      .map(r => (r.getAs[String]("qa"), r.getAs[String]("qb")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("emd"),
+          r.getAs[Boolean]("at_risk"))))
+      .toMap
+
+  test("q205 group mirroring the global distribution has EMD exactly 0") {
+    val out = tclose(
+      Seq(("g1", "S", "x"), ("g1", "S", "x"), ("g1", "S", "y"), ("g1", "S", "y"),
+        ("g2", "S", "x"), ("g2", "S", "x"), ("g2", "S", "y"), ("g2", "S", "y")))
+    assert(out(("g1", "S")) == ((4L, 0.0, false)))
+    assert(out(("g2", "S")) == ((4L, 0.0, false)))
+  }
+
+  test("q205 fully concentrated groups: hand-computed EMD 0.5, flagged") {
+    val out = tclose(
+      Seq.fill(4)(("g1", "S", "x")) ++ Seq.fill(4)(("g2", "S", "y")))
+    assert(out(("g1", "S")) == ((4L, 0.5, true)))
+    assert(out(("g2", "S")) == ((4L, 0.5, true)))
+  }
+
+  test("q205 absent sensitive values contribute via the complement term") {
+    // g1 = {3x, 1y}, g2 = {4z}; global = (3/8, 1/8, 4/8)
+    // TV(g1) = ((3/4-3/8) + (1/4-1/8) + (1/2-0)) / 2 = 0.5; TV(g2) = 0.5
+    val out = tclose(
+      Seq(("g1", "S", "x"), ("g1", "S", "x"), ("g1", "S", "x"), ("g1", "S", "y")) ++
+        Seq.fill(4)(("g2", "S", "z")))
+    assert(out(("g1", "S")) == ((4L, 0.5, true)))
+    assert(out(("g2", "S")) == ((4L, 0.5, true)))
+  }
+
+  test("q205 EMD exactly at t = 0.25 is NOT flagged (strict decimal compare)") {
+    // g1 = {2x, 2y}, g2 = {4y}; global = (1/4, 3/4)
+    // TV(g1) = (|1/2-1/4| + |1/2-3/4|) / 2 = 1/4 exactly; TV(g2) = 1/4 too
+    val out = tclose(
+      Seq(("g1", "S", "x"), ("g1", "S", "x"), ("g1", "S", "y"), ("g1", "S", "y")) ++
+        Seq.fill(4)(("g2", "S", "y")))
+    assert(out(("g1", "S")) == ((4L, 0.25, false)))
+    assert(out(("g2", "S")) == ((4L, 0.25, false)))
   }
 }
