@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.det
+
+/** q210: SPLIT-CONFORMAL prediction intervals — the distribution-free
+  * error bar for ANY point predictor (Vovk's conformal prediction;
+  * the split/inductive form is Papadopoulos 2002 / Lei 2018, public):
+  * fit on a TRAIN split, take the ⌈(n+1)(1−α)⌉-th smallest absolute
+  * residual on a CALIBRATION split as the half-width q̂, and the
+  * interval ŷ ± q̂ covers ≥ 1−α of fresh points with NO distributional
+  * assumption — the honest companion to q130's OLS (which gives a fit,
+  * not a guarantee) and q204's bootstrap (which bounds a MEAN, not a
+  * prediction). Reported per segment with realized TEST coverage.
+  *
+  * Determinism: the three-way split is the q79 md5-threshold
+  * mechanism (train/cal/test by hex range — reproducible across
+  * engines and cluster sizes); OLS coefficients are FIXED IEEE chains
+  * over exact D28_6 moments; calibration residuals are QUANTIZED
+  * D18_6 at the row surface, so the order statistic is over exact
+  * decimals (the q109/q177 CELL METHOD: per-(segment, r) counts, one
+  * cumulative window, min-over-qualifying — never a per-group sorted
+  * array) and the test-side compare r ≤ q̂ is an exact decimal
+  * compare even when a (x, y) pair repeats across splits.
+  * k = min(⌈(n_cal+1)·0.9⌉, n_cal) is integer arithmetic.
+  *
+  * Scale shape: ONE pass computes split tags from the scan (no
+  * shuffle); train moments fold to |segments| cells; the calibration
+  * exchange carries (segment, quantized-r) CELLS (the only
+  * sort-bearing step — the standard price of an exact selection);
+  * q̂ joins back broadcast. Output one row per segment.
+  */
+object Conformal {
+
+  /** Split-conformal over (seg, id, x, y): fit y ~ x per seg on
+    * train, calibrate |r| at 90%, report test coverage. Factored so
+    * the spec can pin the exact k-th order statistic, the coverage
+    * guarantee on an exchangeable sample, and split disjointness.
+    */
+  def conformal(df: DataFrame, seg: Column, id: Column, x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(seg.as("seg"), id.as("graft_id"),
+      x.as("graft_x"), y.as("graft_y"))
+      .withColumn("graft_u", md5(col("graft_id").cast("string")))
+      .withColumn("graft_split",
+        when(col("graft_u") < "55", "train")
+          .when(col("graft_u") < "aa", "cal")
+          .otherwise("test"))
+
+    val fit = base.filter(col("graft_split") === "train")
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        det.dsumw(col("graft_x")).as("graft_sx"),
+        det.dsumw(col("graft_y")).as("graft_sy"),
+        det.dsumw(col("graft_x") * col("graft_x")).as("graft_sxx"),
+        det.dsumw(col("graft_x") * col("graft_y")).as("graft_sxy"))
+      .select(col("seg"), col("n_train"),
+        ((col("n_train").cast("double") * col("graft_sxy")
+          - col("graft_sx") * col("graft_sy"))
+          / (col("n_train").cast("double") * col("graft_sxx")
+            - col("graft_sx") * col("graft_sx"))).as("slope"),
+        col("graft_sx"), col("graft_sy"))
+      .select(col("seg"), col("n_train"), col("slope"),
+        ((col("graft_sy") - col("slope") * col("graft_sx"))
+          / col("n_train").cast("double")).as("intercept"))
+
+    def withR(split: String) = base.filter(col("graft_split") === split)
+      .join(broadcast(fit), Seq("seg"))
+      .withColumn("graft_r",
+        abs(col("graft_y") - (col("intercept")
+          + col("slope") * col("graft_x"))).cast(det.D18_6))
+
+    val calCells = withR("cal")
+      .groupBy(col("seg"), col("graft_r"))
+      .agg(count(lit(1)).as("graft_c"))
+    val calTotals = calCells.groupBy(col("seg"))
+      .agg(sum(col("graft_c")).cast("long").as("n_cal"))
+      .withColumn("graft_k",
+        least(ceil((col("n_cal") + 1).cast("double") * 0.9).cast("long"),
+          col("n_cal")))
+    val qhat = calCells
+      .join(broadcast(calTotals), Seq("seg"))
+      .withColumn("graft_cum",
+        sum(col("graft_c")).over(Window.partitionBy(col("seg"))
+          .orderBy(col("graft_r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("graft_cum") >= col("graft_k"))
+      .groupBy(col("seg"))
+      .agg(min(col("graft_r")).as("graft_q"),
+        max(col("n_cal")).as("n_cal"))
+
+    withR("test")
+      .join(broadcast(qhat), Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(
+        max(col("n_train")).as("n_train"),
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("slope")).as("slope"),
+        max(col("intercept")).as("intercept"),
+        max(col("graft_q")).cast("double").as("qhat"),
+        sum(when(col("graft_r") <= col("graft_q"), 1L).otherwise(0L))
+          .as("graft_cov"))
+      .select(col("seg"), col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("qhat"),
+        (col("graft_cov").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
+  val q210 = Q.of(
+    "q210_conformal_interval",
+    """WITH base AS (
+      |  SELECT l_returnflag AS seg,
+      |    md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS u,
+      |    l_quantity AS x, l_extendedprice AS y
+      |  FROM lineitem
+      |), tagged AS (
+      |  SELECT seg, x, y,
+      |    CASE WHEN u < '55' THEN 'train'
+      |         WHEN u < 'aa' THEN 'cal'
+      |         ELSE 'test' END AS split
+      |  FROM base
+      |), fit0 AS (
+      |  SELECT seg, COUNT(*) AS n_train,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM tagged WHERE split = 'train' GROUP BY 1
+      |), fit1 AS (
+      |  SELECT seg, n_train,
+      |    (CAST(n_train AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n_train AS DOUBLE) * sxx - sx * sx) AS slope,
+      |    sx, sy
+      |  FROM fit0
+      |), fit AS (
+      |  SELECT seg, n_train, slope,
+      |    (sy - slope * sx) / CAST(n_train AS DOUBLE) AS intercept
+      |  FROM fit1
+      |), cal AS (
+      |  SELECT t.seg,
+      |    CAST(ABS(y - (intercept + slope * x)) AS DECIMAL(18,6)) AS r
+      |  FROM tagged t JOIN fit ON t.seg = fit.seg
+      |  WHERE split = 'cal'
+      |), cells AS (
+      |  SELECT seg, r, COUNT(*) AS c FROM cal GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT seg, CAST(SUM(c) AS BIGINT) AS n_cal,
+      |    LEAST(CAST(CEIL(CAST(SUM(c) + 1 AS DOUBLE) * 0.9) AS BIGINT),
+      |          CAST(SUM(c) AS BIGINT)) AS k
+      |  FROM cells GROUP BY 1
+      |), cum AS (
+      |  SELECT cells.seg, r, n_cal, k,
+      |    SUM(c) OVER (PARTITION BY cells.seg ORDER BY r
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cumc
+      |  FROM cells JOIN tot ON cells.seg = tot.seg
+      |), qh AS (
+      |  SELECT seg, MIN(r) AS q, MAX(n_cal) AS n_cal
+      |  FROM cum WHERE cumc >= k GROUP BY 1
+      |), test AS (
+      |  SELECT t.seg, n_train, slope, intercept,
+      |    CAST(ABS(y - (intercept + slope * x)) AS DECIMAL(18,6)) AS r
+      |  FROM tagged t JOIN fit ON t.seg = fit.seg
+      |  WHERE split = 'test'
+      |)
+      |SELECT test.seg AS seg,
+      |  CAST(MAX(n_train) AS BIGINT) AS n_train,
+      |  CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  MAX(slope) AS slope,
+      |  MAX(intercept) AS intercept,
+      |  CAST(MAX(q) AS DOUBLE) AS qhat,
+      |  CAST(SUM(CASE WHEN r <= q THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+      |FROM test JOIN qh ON test.seg = qh.seg
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { t =>
+    conformal(
+      t.lineitem,
+      col("l_returnflag"),
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("seg"))
+  }
+
+  def all: Seq[Q] = Seq(q210)
+}
