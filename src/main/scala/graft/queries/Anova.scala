@@ -78,16 +78,16 @@ object Anova {
       |    CAST(COUNT(*) AS BIGINT) AS k,
       |    CAST(SUM(cn) AS BIGINT) AS n,
       |    SUM(s1) AS s,
-      |    SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |    SUM(CAST(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
       |      / CAST(cn AS DOUBLE) AS DECIMAL(28,6))) AS bsum,
-      |    SUM(CAST(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |    SUM(CAST(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
       |      / CAST(cn AS DOUBLE) AS DECIMAL(28,6))) AS wsum
       |  FROM cells
       |), e AS (
       |  SELECT k, n,
-      |    CAST(bsum AS DOUBLE)
-      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-      |    CAST(wsum AS DOUBLE) AS ssw
+      |    CAST(CAST(bsum AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+      |    CAST(CAST(wsum AS VARCHAR) AS DOUBLE) AS ssw
       |  FROM folded
       |)
       |SELECT k, n, ssb, ssw,

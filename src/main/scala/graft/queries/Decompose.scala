@@ -139,18 +139,21 @@ object Decompose {
       |  FROM detr JOIN seas ON dayofweek(detr.day) + 1 = seas.dow
       |), st AS (
       |  SELECT CASE WHEN CAST(COUNT(*) AS DOUBLE)
-      |       * CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
-      |           AS DECIMAL(28,6))) AS DOUBLE)
-      |     - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE) > 0.0
+      |       * CAST(CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+      |           AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) > 0.0
       |   THEN GREATEST(0.0, 1.0 -
       |    (CAST(COUNT(*) AS DOUBLE)
-      |       * CAST(SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
-      |           AS DECIMAL(28,6))) AS DOUBLE)
-      |     - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+      |       * CAST(CAST(SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+      |           AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE))
       |    / (CAST(COUNT(*) AS DOUBLE)
-      |       * CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
-      |           AS DECIMAL(28,6))) AS DOUBLE)
-      |     - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE)))
+      |       * CAST(CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+      |           AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE)))
       |   END AS seasonal_strength
       |  FROM resid
       |)
