@@ -15,16 +15,23 @@ import graft.functions.det
   *
   * Determinism: per-group moments n, Σx, Σx² are exact D28_6 sums
   * (q192's lanes); the per-group terms s₁²/n and s₂ − s₁²/n are each
-  * ONE IEEE expression over exact operands QUANTIZED to D28_6 before
-  * the cross-group fold (five doubles summed in engine order would
-  * be order-dependent — the §6 rule applies to the group fold too,
-  * not just the row fold); F and η² are single IEEE chains over the
-  * exact folded decimals, token-identical in the oracle, no
-  * rounding. k < 2, N ≤ k, or SSW = 0 guard to NULL.
+  * ONE IEEE expression over exact operands, and the cross-group fold
+  * adds them in EXPLICIT sorted-key order over the bounded k-entry
+  * array (sort_array + aggregate ≡ list_sort + list_reduce) — NOT a
+  * SUM aggregate (engine-chosen order) and NOT a D28_6 re-quantize:
+  * §6(l) — quantizing a double ≥ ~10¹⁰ to 6 decimals is not
+  * cross-engine-stable (the 6-decimal digits sit below the double's
+  * own ULP; DuckDB's DOUBLE→DECIMAL multiplies in floating point
+  * while Spark expands the exact binary value — observed diverging
+  * at sf0.01 on this very query). Every DECIMAL→DOUBLE cast of the
+  * wide sums bounces through VARCHAR on the oracle side (§6(k)).
+  * F and η² are single IEEE chains over the folded doubles,
+  * token-identical in the oracle, no rounding. k < 2, N ≤ k, or
+  * SSW = 0 guard to NULL.
   *
   * Scale shape: ONE fact scan → k moment cells (map-side combined —
-  * cells cross the exchange, never rows) → one-row fold. Identical
-  * cost to q192 regardless of k.
+  * cells cross the exchange, never rows) → one-row fold over the
+  * bounded k-entry array. Identical cost to q192 regardless of k.
   */
 object Anova {
 
@@ -44,18 +51,23 @@ object Anova {
     val s1D = col("graft_s1").cast("double")
     val s2D = col("graft_s2").cast("double")
     cells
+      .select(col("graft_n"), col("graft_s1"),
+        struct(col("graft_k").as("g"),
+          (s1D * s1D / nD).as("b"),
+          (s2D - s1D * s1D / nD).as("w")).as("graft_t"))
       .agg(
         count(lit(1)).as("k"),
         sum(col("graft_n")).as("n"),
         sum(col("graft_s1")).as("graft_s"),
-        sum((s1D * s1D / nD).cast(det.D28_6)).as("graft_bsum"),
-        sum((s2D - s1D * s1D / nD).cast(det.D28_6)).as("graft_wsum"))
+        sort_array(collect_list(col("graft_t"))).as("graft_arr"))
       .select(
         col("k"), col("n"),
-        (col("graft_bsum").cast("double") -
+        (aggregate(col("graft_arr"), lit(0.0),
+          (acc, x) => acc + x.getField("b")) -
           col("graft_s").cast("double") * col("graft_s").cast("double") /
             col("n").cast("double")).as("ssb"),
-        col("graft_wsum").cast("double").as("ssw"))
+        aggregate(col("graft_arr"), lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("ssw"))
       .select(
         col("k"), col("n"), col("ssb"), col("ssw"),
         when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0.0,
@@ -78,16 +90,21 @@ object Anova {
       |    CAST(COUNT(*) AS BIGINT) AS k,
       |    CAST(SUM(cn) AS BIGINT) AS n,
       |    SUM(s1) AS s,
-      |    SUM(CAST(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
-      |      / CAST(cn AS DOUBLE) AS DECIMAL(28,6))) AS bsum,
-      |    SUM(CAST(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
-      |      / CAST(cn AS DOUBLE) AS DECIMAL(28,6))) AS wsum
+      |    list_sort(list({'g': k,
+      |      'b': CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(cn AS DOUBLE),
+      |      'w': CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |        - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+      |          * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(cn AS DOUBLE)}))
+      |      AS arr
       |  FROM cells
       |), e AS (
       |  SELECT k, n,
-      |    CAST(CAST(bsum AS VARCHAR) AS DOUBLE)
-      |      - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-      |    CAST(CAST(wsum AS VARCHAR) AS DOUBLE) AS ssw
+      |    list_reduce(list_transform(arr, x -> x.b), (acc, u) -> acc + u)
+      |      - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+      |    list_reduce(list_transform(arr, x -> x.w), (acc, u) -> acc + u)
+      |      AS ssw
       |  FROM folded
       |)
       |SELECT k, n, ssb, ssw,
