@@ -26,6 +26,18 @@ import org.apache.spark.sql.types.{DataTypes, DecimalType}
   * arithmetic (percentile interpolation, corr) is NOT expression-
   * identical across engines; those results are rounded to 4 decimals
   * on both sides instead (see q10/q11).
+  *
+  * MAGNITUDE CEILINGS (round 10, SURVEY §6(k)/(l)): both cast
+  * directions stop being engine-identical at large magnitudes.
+  * DECIMAL→DOUBLE: once the decimal's scaled integer exceeds 2^53,
+  * DuckDB's double(v)/double(10^s) double-rounds while Spark's
+  * BigDecimal path rounds once — bounce the ORACLE cast through
+  * VARCHAR (`CAST(CAST(x AS VARCHAR) AS DOUBLE)`). DOUBLE→DECIMAL:
+  * once |x|·10^scale exceeds 2^63, DuckDB leaves its exact int64
+  * conversion path while Spark still expands the exact binary value —
+  * do NOT re-quantize doubles ≥ ~1e12 at scale 6; fold bounded
+  * per-group terms in explicit sorted order instead (q203's
+  * sort_array+aggregate ≡ list_sort+list_reduce pattern).
   */
 object det {
   val D20_6: DecimalType = DataTypes.createDecimalType(20, 6)
