@@ -43,7 +43,11 @@ object Attribution {
   /** Positional credit per channel from (conv_id, channel, rk, n)
     * journeys. Factored so the spec can pin the n = 1 / n = 2
     * degenerate splits, the 40/20/40 arithmetic, and that every
-    * scheme's total credit equals the journey count.
+    * scheme's total credit equals the journey count to within the
+    * D18_6 quantization (per-touch credits are quantized before
+    * summing, so e.g. a 3-touch linear journey sums to 0.999999 —
+    * the identity holds with a 1e-6-per-touch tolerance, not
+    * exactly).
     */
   def positionalCredit(journeys: DataFrame): DataFrame = {
     val n = col("n").cast("double")

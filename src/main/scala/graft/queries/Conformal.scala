@@ -127,10 +127,10 @@ object Conformal {
       |  FROM base
       |), fit0 AS (
       |  SELECT seg, COUNT(*) AS n_train,
-      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM tagged WHERE split = 'train' GROUP BY 1
       |), fit1 AS (
       |  SELECT seg, n_train,

@@ -134,41 +134,41 @@ object Cuped {
       |SELECT
       |  CAST(n_t AS BIGINT) AS n_t,
       |  CAST(n_c AS BIGINT) AS n_c,
-      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
-      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
-      |  CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)
-      |    - CAST(syc AS DOUBLE) / CAST(n_c AS DOUBLE) AS effect_raw,
-      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
-      |    THEN (CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)
-      |          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * (CAST(sxt AS DOUBLE) / CAST(n_t AS DOUBLE)))
-      |       - (CAST(syc AS DOUBLE) / CAST(n_c AS DOUBLE)
-      |          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * (CAST(sxc AS DOUBLE) / CAST(n_c AS DOUBLE)))
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0.0
+      |    THEN (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) END AS theta,
+      |  CAST(CAST(syt AS VARCHAR) AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |    - CAST(CAST(syc AS VARCHAR) AS DOUBLE) / CAST(n_c AS DOUBLE) AS effect_raw,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0.0
+      |    THEN (CAST(CAST(syt AS VARCHAR) AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |          - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |             - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |               - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |            * (CAST(CAST(sxt AS VARCHAR) AS DOUBLE) / CAST(n_t AS DOUBLE)))
+      |       - (CAST(CAST(syc AS VARCHAR) AS DOUBLE) / CAST(n_c AS DOUBLE)
+      |          - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |             - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |               - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |            * (CAST(CAST(sxc AS VARCHAR) AS DOUBLE) / CAST(n_c AS DOUBLE)))
       |    END AS effect_cuped,
-      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
-      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
-      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0.0
+      |        AND CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |         - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) > 0.0
+      |    THEN (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |       / ((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |           - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |          * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |             - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
       |    END AS var_reduction
       |FROM f""".stripMargin) { t =>
     cuped(

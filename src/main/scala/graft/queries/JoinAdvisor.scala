@@ -87,8 +87,9 @@ object JoinAdvisor {
       |  CAST(first_intermediate AS BIGINT) AS first_intermediate,
       |  CAST((SELECT rows FROM fin) AS BIGINT) AS final_rows,
       |  is_cross,
-      |  NOT is_cross AND first_intermediate = (
-      |    SELECT MIN(first_intermediate) FROM plans WHERE NOT is_cross)
+      |  NOT is_cross AND plan = (
+      |    SELECT plan FROM plans WHERE NOT is_cross
+      |    ORDER BY first_intermediate, plan LIMIT 1)
       |    AS chosen
       |FROM plans
       |ORDER BY plan""".stripMargin) { t =>
@@ -117,15 +118,20 @@ object JoinAdvisor {
       .agg(count(lit(1)).as("final_rows"))
 
     val plans = szOl.unionAll(szLp).unionAll(szCross)
+    // argmin over (first_intermediate, plan): min of a 2-field struct
+    // orders lexicographically, so two plans tied on cardinality
+    // resolve to exactly one chosen row by plan name — the documented
+    // deterministic name tiebreak, mirrored by the oracle's
+    // ORDER BY first_intermediate, plan LIMIT 1 scalar subquery.
     val best = plans.filter(!col("is_cross"))
-      .agg(min(col("first_intermediate")).as("graft_best"))
+      .agg(min(struct(col("first_intermediate"), col("plan"))).as("graft_best"))
     plans
       .join(broadcast(fin))
       .join(broadcast(best))
       .select(col("plan"), col("first_intermediate"), col("final_rows"),
         col("is_cross"),
         (!col("is_cross") &&
-          col("first_intermediate") === col("graft_best")).as("chosen"))
+          col("plan") === col("graft_best.plan")).as("chosen"))
       .orderBy(col("plan"))
   }
 

@@ -97,11 +97,15 @@ object PcaPower {
   private def oracleSql(iters: Int): String = {
     val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val moments =
+      // §6(k): the D28_6 moment sums feed the cancellation-sensitive
+      // n·Sxy − Sx·Sy correlation chain, so the DECIMAL→DOUBLE cast is
+      // bounced through VARCHAR — past 2^53 scaled units DuckDB's
+      // double(v)/double(10^s) double-rounds while Spark rounds once.
       Seq("COUNT(*) AS n") ++
         feats.zipWithIndex.map { case (f, i) =>
-          s"CAST(SUM(CAST($f AS DECIMAL(28,6))) AS DOUBLE) AS s${i + 1}" } ++
+          s"CAST(CAST(SUM(CAST($f AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s${i + 1}" } ++
         (for (i <- 0 until 4; j <- i until 4) yield
-          s"CAST(SUM(CAST(${feats(i)} * ${feats(j)} AS DECIMAL(28,6))) AS DOUBLE) AS s${i + 1}${j + 1}")
+          s"CAST(CAST(SUM(CAST(${feats(i)} * ${feats(j)} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s${i + 1}${j + 1}")
     def rExpr(a: Int, b: Int): String =
       s"(CAST(n AS DOUBLE) * s$a$b - s$a * s$b) / " +
         s"(SQRT(CAST(n AS DOUBLE) * s$a$a - s$a * s$a) * " +

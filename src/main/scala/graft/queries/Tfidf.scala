@@ -50,14 +50,22 @@ object Tfidf {
     * df-cap cutoff, and identical-doc cosine = 1.
     */
   def topkCosine(terms: DataFrame, nDocs: Long, k: Int = K): DataFrame = {
-    val df = terms.groupBy(col("term")).agg(count(lit(1)).as("graft_df"))
+    // df-cap applied BEFORE the join, and no forced broadcast: on a
+    // 100 TB corpus the bigram vocabulary is itself billions of rows,
+    // so a broadcast(df) hint would OOM the driver long before AQE
+    // could demote it. Pruning first means (a) the join input carries
+    // only informative terms — the inner join then IS the prune — and
+    // (b) AQE is free to pick broadcast-hash when the pruned vocab is
+    // genuinely small (it is at bench SF) and sort-merge when it
+    // isn't. Plan pinned in PlanHygieneSpec (no broadcast hint nodes).
+    val df = terms
+      .groupBy(col("term")).agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") * 4 <= lit(nDocs))
     val postings = terms
-      .join(broadcast(df), Seq("term"))
-      .withColumn("graft_n", lit(nDocs))
-      .filter(col("graft_df") * 4 <= col("graft_n"))
+      .join(df, Seq("term"))
       .withColumn("graft_w",
         col("tf").cast("double") *
-          log2(col("graft_n").cast("double") / col("graft_df").cast("double")))
+          log2(lit(nDocs).cast("double") / col("graft_df").cast("double")))
     val norms = postings
       .groupBy(col("doc_id"))
       .agg(sum((col("graft_w") * col("graft_w")).cast(det.D20_6)).as("graft_nsq"))
@@ -144,6 +152,12 @@ object Tfidf {
         t.documents
           .select(col("doc_id"), col("lang"), col("source"),
             toks.as("graft_toks"))
+          // single-token / empty docs: sequence(0, -1) is a DESCENDING
+          // range under Spark semantics and element_at(toks, 0) throws
+          // under ANSI — the BigramLm/Classifier size-guard discipline
+          // applies here too (the oracle's range(1, len(ts)) is simply
+          // empty for such docs, so the guard is semantics-neutral).
+          .filter(size(col("graft_toks")) >= 2)
           .select(col("doc_id"), col("lang"), col("source"),
             explode(expr(
               """transform(sequence(0, size(graft_toks) - 2),

@@ -103,15 +103,15 @@ object Welch {
       |), e AS (
       |  SELECT key, n1, n2,
       |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
-      |    CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-      |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    CAST(CAST(s1a AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CAST(CAST(s1b AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
       |    CASE WHEN n1 >= 2 THEN
-      |      (CAST(n1 AS DOUBLE) * CAST(s2a AS DOUBLE)
-      |        - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+      |      (CAST(n1 AS DOUBLE) * CAST(CAST(s2a AS VARCHAR) AS DOUBLE)
+      |        - CAST(CAST(s1a AS VARCHAR) AS DOUBLE) * CAST(CAST(s1a AS VARCHAR) AS DOUBLE))
       |        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) END AS v1,
       |    CASE WHEN n2 >= 2 THEN
-      |      (CAST(n2 AS DOUBLE) * CAST(s2b AS DOUBLE)
-      |        - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+      |      (CAST(n2 AS DOUBLE) * CAST(CAST(s2b AS VARCHAR) AS DOUBLE)
+      |        - CAST(CAST(s1b AS VARCHAR) AS DOUBLE) * CAST(CAST(s1b AS VARCHAR) AS DOUBLE))
       |        / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) END AS v2
       |  FROM m
       |), f AS (
