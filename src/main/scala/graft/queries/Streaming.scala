@@ -29,10 +29,35 @@ object Streaming {
   }
 
   /** q71: stateful gap sessionization (flatMapGroupsWithState) in
-    * batch mode. Rows-only; StreamingSpec asserts it matches the
-    * window-based q21 exactly.
+    * batch mode. ORACLE (round 11 — formerly rows-only): the stateful
+    * sessionizer's batch output is definitionally q21's window-based
+    * gap sessionization at (user, session) grain, so the oracle is
+    * q21's SQL re-projected onto the GraftSession schema (epoch-micro
+    * start/end instead of timestamps). StreamingSpec keeps the
+    * readStream leg: batch ≡ stream across random epoch splits.
     */
-  val q71 = Q.rowsOnly("q71_stream_session") { t =>
+  val q71 = Q.of(
+    "q71_stream_session",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), seqd AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(epoch_us(ts)) AS start_us,
+      |  MAX(epoch_us(ts)) AS end_us,
+      |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+      |FROM seqd
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { t =>
     import EventStreams._
     val events = t.events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
