@@ -39,14 +39,59 @@ object PageRank {
       edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
     var r = withDeg.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
-      r = withDeg.join(r, withDeg("src") === r("id"))
-        // integral floor division end to end — never a double
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg(expr("150000L + (85L * sum(c)) div 100L").as("rank"))
-        .select(col("dst").as("id"), col("rank"))
-    }
+    for (_ <- 1 to iters) r = step(withDeg, r)
     r
+  }
+
+  private def step(withDeg: DataFrame, r: DataFrame): DataFrame =
+    withDeg.join(r, withDeg("src") === r("id"))
+      // integral floor division end to end — never a double
+      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .groupBy(col("dst"))
+      .agg(expr("150000L + (85L * sum(c)) div 100L").as("rank"))
+      .select(col("dst").as("id"), col("rank"))
+
+  /** Loop-to-FIXPOINT variant (round-11 production form beside the
+    * fixed-round oracle contract): iterate until the integer rank
+    * vector stops changing — which, in exact integer arithmetic, is a
+    * true fixpoint, not an epsilon test. Returns (ranks, iters).
+    *
+    * Mechanics borrowed from Components.labelWithStats: every round is
+    * localCheckpoint'd so plans stay constant-size over two leaf
+    * relations (the 4^rounds recompute-tree lesson), change detection
+    * is one (id, rank) join + limit-1 count over the node-sized frame
+    * (the symmetric-edge contract keeps the node set constant, so an
+    * inner join sees every node), and a non-converged exit THROWS
+    * rather than returning a silently-wrong vector. Integer dynamics
+    * could in principle cycle with period > 1; that also surfaces as
+    * the fail-loud maxIters throw, never as a wrong answer.
+    * FixpointSpec pins fixpoint ≡ ranks(·, n) once converged and the
+    * invariance of further iteration.
+    */
+  def ranksToFixpoint(edges: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = graft.CacheScope.trackedCache(
+      edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
+    var r = withDeg.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      iters += 1
+      val next = step(withDeg, r).localCheckpoint(true)
+      val changed = next
+        .join(r.select(col("id"), col("rank").as("graft_prev")), Seq("id"))
+        .filter(col("rank") =!= col("graft_prev"))
+        .limit(1).count() > 0
+      r.unpersist(blocking = false)
+      r = next
+      converged = !changed
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"PageRank.ranksToFixpoint: not converged after $maxIters iterations " +
+          "(still moving, or an integer limit cycle); raise maxIters")
+    (r, iters)
   }
 }

@@ -93,6 +93,80 @@ object KCore {
           coalesce(col("graft_deg"), lit(0L))).as("final_deg"))
   }
 
+  /** Loop-to-FIXPOINT peel (round-11 production form beside the
+    * fixed-round oracle contract): peel until a round removes no
+    * node — the true Seidman k-core, with the same output schema as
+    * [[corePeel]] (survivors elim_round = 0 + final degree). Peeling
+    * is monotone (the edge set only shrinks), so the fixpoint always
+    * exists and each non-final round removes ≥ 1 node — termination
+    * within |V| rounds is structural; maxRounds is the fail-loud
+    * guard against a mis-sized cap, never a silent wrong answer.
+    * Returns (result, rounds) where `rounds` counts peeling rounds
+    * that removed at least one node. Per round: the same bounded
+    * degree aggregate + anti-joins as corePeel, plus ONE count on the
+    * round's removal frame (already computed and cached — the
+    * convergence test is free beyond that count). Frames are
+    * localCheckpoint'd so the loop's plans stay constant-size
+    * (Components' 4^rounds recompute-tree lesson). FixpointSpec pins
+    * fixpoint ≡ corePeel(·, r) on converged fixtures and the chain
+    * cascade's round growth.
+    */
+  def corePeelToFixpoint(edges: DataFrame, k: Int,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("graft_deg"))
+
+    val base = graft.CacheScope.trackedCache(edges)
+    val allNodes = degrees(base).select(col("node")).localCheckpoint(true)
+
+    var active = allNodes
+    var cur = base
+    var removed = cur.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("elim_round",
+          org.apache.spark.sql.types.LongType))))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val r = rounds + 1
+      val deg = degrees(cur)
+      val rm = active.join(deg, Seq("node"), "left")
+        .filter(coalesce(col("graft_deg"), lit(0L)) < k)
+        .select(col("node"), lit(r.toLong).as("elim_round"))
+        .localCheckpoint(true)
+      if (rm.isEmpty) {
+        converged = true
+      } else {
+        rounds = r
+        removed = removed.unionAll(rm).localCheckpoint(true)
+        active = active.join(rm.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        cur = cur.join(rm.select(col("node").as("pa")), Seq("pa"), "left_anti")
+          .join(rm.select(col("node").as("pb")), Seq("pb"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"KCore.corePeelToFixpoint: still peeling after $maxRounds rounds; " +
+          "raise maxRounds")
+    val finalDeg = degrees(cur)
+    val out = allNodes
+      .join(removed, Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .select(
+        col("node"),
+        coalesce(col("elim_round"), lit(0L)).as("elim_round"),
+        when(col("elim_round").isNull,
+          coalesce(col("graft_deg"), lit(0L))).as("final_deg"))
+    (out, rounds)
+  }
+
   /** Support-pruned co-purchase edges (pa < pb) — the q128/q170
     * graph. */
   def coEdges(baskets: DataFrame, container: String, item: String,

@@ -55,6 +55,57 @@ object LabelProp {
     }
   }
 
+  /** Loop-to-FIXPOINT variant (round-11 production form beside the
+    * fixed-round oracle contract): propagate until no node's label
+    * changes. Returns (labels, rounds). Synchronous LPA is NOT
+    * guaranteed to converge — bipartite structures can oscillate with
+    * period 2 (Raghavan et al. §3 discuss the oscillation; the
+    * asynchronous variant trades determinism for guaranteed
+    * termination, the wrong trade for a verifiable engine) — so a
+    * non-converged exit THROWS at maxRounds rather than returning a
+    * mid-oscillation labeling. Each round is localCheckpoint'd
+    * (constant-size plans) and convergence is one (node, lbl) join +
+    * limit-1 count on the node-sized label frame. FixpointSpec pins
+    * fixpoint ≡ propagate(·, r) once converged plus the two-triangle
+    * fixture's round count.
+    */
+  def propagateToFixpoint(edges: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val adj = CacheScope.trackedCache(
+      edges.select(col("pa").as("node"), col("pb").as("nbr"))
+        .unionAll(edges.select(col("pb").as("node"), col("pa").as("nbr"))))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("graft_c").desc, col("lbl").asc)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val next = adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("graft_c"))
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("node"), col("lbl").as("graft_prev")), Seq("node"))
+        .filter(col("lbl") =!= col("graft_prev"))
+        .limit(1).count() > 0
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = !changed
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"LabelProp.propagateToFixpoint: not converged after $maxRounds " +
+          "rounds (still moving, or a synchronous-LPA oscillation); " +
+          "raise maxRounds or break the oscillating structure")
+    (labels, rounds)
+  }
+
   val q214 = Q.of(
     "q214_label_propagation",
     s"""WITH b AS (
