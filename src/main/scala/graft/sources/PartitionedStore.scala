@@ -118,6 +118,119 @@ object PartitionedStore {
       .parquet(path)
   }
 
+  // ---- atomic multi-partition snapshot publish (VERDICT r10 next #7) ----
+  //
+  // writeBatch/compact are per-leaf-dir atomic only: a reader scanning
+  // DURING a multi-partition publish can see some partitions new and
+  // some old/missing. The snapshot layout closes that gap with the
+  // classic manifest-commit design (the idea under Iceberg/Delta,
+  // re-expressed minimally): each publish writes a COMPLETE hive-
+  // partitioned tree under its own graft_snapshot=<v> directory, then
+  // commits by atomically swapping ONE pointer file. Readers resolve
+  // the pointer first, so they see either the old snapshot whole or
+  // the new snapshot whole — never a mix; an in-flight reader of the
+  // old snapshot keeps a consistent view because publish never
+  // mutates published directories. The single-file rename is atomic
+  // on POSIX/HDFS (FileContext.rename(OVERWRITE)); on S3 the pointer
+  // would live in a conditional-put object or a catalog — same
+  // protocol, different primitive.
+
+  private val ManifestName = "_graft_manifest"
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Currently committed snapshot id, if any publish has completed. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[Long] = {
+    val (root, fs) = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(m)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      val in = fs.open(m)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    }
+  }
+
+  /** Stage (write, but do NOT commit) the next snapshot: a complete
+    * partitioned tree under graft_snapshot=<v+1>. Returns the staged
+    * id. A crash after staging leaves an orphan directory that the
+    * next stage of the same id overwrites — readers never resolve it
+    * because the manifest still names the old snapshot (SourcesSpec
+    * pins exactly this interrupted-publish isolation).
+    */
+  def stageSnapshot(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val (root, fs) = fsOf(spark, path)
+    val id = currentSnapshot(spark, path).getOrElse(0L) + 1L
+    val dir = new org.apache.hadoop.fs.Path(root, s"graft_snapshot=$id")
+    if (fs.exists(dir)) fs.delete(dir, true) // abandoned earlier stage
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir.toString)
+    id
+  }
+
+  /** Commit a staged snapshot: write the pointer to a temp file, then
+    * ONE atomic rename over the live manifest. This is the only
+    * mutation a reader can race with, and it is all-or-nothing.
+    */
+  def commitSnapshot(spark: SparkSession, path: String, id: Long): Unit = {
+    val (root, fs) = fsOf(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, s"graft_snapshot=$id")),
+      s"commitSnapshot: snapshot $id was never staged under $path")
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Stage + commit in one call — the normal publish path. */
+  def publishSnapshot(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Long = {
+    val id = stageSnapshot(df, path, partitionCols)
+    commitSnapshot(df.sparkSession, path, id)
+    id
+  }
+
+  /** Read the committed snapshot (pointer resolve + partitioned scan —
+    * planning-time pruning works as in [[readPartitioned]] because the
+    * snapshot dir IS a hive layout). Throws if nothing was ever
+    * committed: an un-published store has no consistent view to offer.
+    */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val id = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"readSnapshot: no committed snapshot at $path"))
+    spark.read.parquet(s"$path/graft_snapshot=$id")
+  }
+
+  /** Drop published snapshots older than the live one, keeping
+    * `keep` predecessors for in-flight readers — the vacuum half of
+    * the protocol (time-travel readers would pin ids instead).
+    */
+  def vacuumSnapshots(spark: SparkSession, path: String, keep: Int = 1): Seq[Long] = {
+    val (root, fs) = fsOf(spark, path)
+    currentSnapshot(spark, path).toSeq.flatMap { live =>
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("graft_snapshot="))
+        .map(_.getPath.getName.stripPrefix("graft_snapshot=").toLong)
+        .filter(_ < live - keep)
+        .sorted
+        .map { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"graft_snapshot=$id"), true)
+          id
+        }
+    }
+  }
+
   /** Small-file compaction — the table-maintenance half of the layout
     * story. Streaming sinks ([[writeBatch]]) and high-parallelism
     * writers fragment a partition directory into one file per task;

@@ -244,6 +244,58 @@ class SourcesSpec extends SparkSpec {
       "only fully-conforming rows belong in good")
   }
 
+  test("snapshot publish is all-or-nothing across partitions (interrupted publish invisible)") {
+    // VERDICT r10 next #7: writeBatch/compact are per-leaf-dir atomic
+    // only; the snapshot layout must give readers a consistent
+    // multi-partition view across an INTERRUPTED publish.
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString + "/store"
+    val v1 = tables.events
+      .select("event_id", "user_id", "ts", "event_type")
+      .filter(col("event_id") % 2 === 0)
+    val id1 = PartitionedStore.publishSnapshot(v1, sdir, Seq("event_type"))
+    assert(id1 == 1L)
+    val seen1 = PartitionedStore.readSnapshot(spark, sdir)
+    val n1 = seen1.count()
+    assert(n1 == v1.count() && n1 > 0)
+
+    // interrupted publish: v2 stages a DIFFERENT multi-partition tree
+    // (more rows, every partition touched) but the publisher "dies"
+    // before commit — a reader must still resolve v1, whole
+    val v2 = tables.events.select("event_id", "user_id", "ts", "event_type")
+    val id2 = PartitionedStore.stageSnapshot(v2, sdir, Seq("event_type"))
+    assert(id2 == 2L)
+    assert(PartitionedStore.currentSnapshot(spark, sdir).contains(1L),
+      "staging moved the live pointer")
+    val during = PartitionedStore.readSnapshot(spark, sdir)
+    assert(during.count() == n1,
+      "reader saw rows from the uncommitted snapshot")
+    assert(during.filter(col("event_id") % 2 =!= 0).isEmpty,
+      "reader saw an uncommitted row — the publish leaked mid-flight")
+
+    // commit is one atomic pointer swap: the new tree appears whole
+    PartitionedStore.commitSnapshot(spark, sdir, id2)
+    assert(PartitionedStore.readSnapshot(spark, sdir).count() == v2.count())
+
+    // partition pruning still works through the snapshot layout
+    val pruned = PartitionedStore.readSnapshot(spark, sdir)
+      .filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type predicate did not prune through the snapshot layout:\n$plan")
+
+    // a crashed stage is re-stageable (same id, overwritten) and
+    // vacuum drops superseded snapshots beyond the keep window
+    val id3 = PartitionedStore.stageSnapshot(v1, sdir, Seq("event_type"))
+    assert(id3 == 3L)
+    val id3b = PartitionedStore.stageSnapshot(v1, sdir, Seq("event_type"))
+    assert(id3b == 3L, "re-stage after a crash must reuse the uncommitted id")
+    PartitionedStore.commitSnapshot(spark, sdir, id3b)
+    assert(PartitionedStore.vacuumSnapshots(spark, sdir, keep = 1) == Seq(1L))
+    assert(PartitionedStore.readSnapshot(spark, sdir).count() == n1)
+  }
+
   test("z-order row-group skipping beats a 1-D sort on a 2-D box predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // independent-ish dimensions over a controlled row count so the
