@@ -136,16 +136,18 @@ object PartitionedStore {
   // protocol, different primitive.
 
   private val ManifestName = "_graft_manifest"
+  private val BatchWatermarkName = "_graft_batch_watermark"
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
-  /** Currently committed snapshot id, if any publish has completed. */
-  def currentSnapshot(spark: SparkSession, path: String): Option[Long] = {
+  /** Read an atomic pointer file (one long), if present. */
+  private def readPointer(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
     val (root, fs) = fsOf(spark, path)
-    val m = new org.apache.hadoop.fs.Path(root, ManifestName)
+    val m = new org.apache.hadoop.fs.Path(root, name)
     if (!fs.exists(m)) None
     else {
       val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
@@ -154,6 +156,26 @@ object PartitionedStore {
       Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
     }
   }
+
+  /** Write-temp + ONE atomic rename over a pointer file — the only
+    * mutation a reader can race with, all-or-nothing on POSIX/HDFS.
+    */
+  private def writePointer(spark: SparkSession, path: String,
+      name: String, value: Long): Unit = {
+    val (root, fs) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, name),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Currently committed snapshot id, if any publish has completed. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[Long] =
+    readPointer(spark, path, ManifestName)
 
   /** Stage (write, but do NOT commit) the next snapshot: a complete
     * partitioned tree under graft_snapshot=<v+1>. Returns the staged
@@ -183,14 +205,40 @@ object PartitionedStore {
     val (root, fs) = fsOf(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(root, s"graft_snapshot=$id")),
       s"commitSnapshot: snapshot $id was never staged under $path")
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writePointer(spark, path, ManifestName, id)
+  }
+
+  // ---- watermark-committed streaming append (round 11) ----
+  //
+  // The snapshot protocol above rewrites the table per publish — right
+  // for batch refresh, wrong for a streaming APPEND sink. The append
+  // form is the manifest idea applied to writeBatch's per-batch trees:
+  // batches land (idempotently, delete-and-rewrite on replay) under
+  // graft_batch_id=<id>, and ONE pointer file holds the highest
+  // COMMITTED batch id. A reader filters graft_batch_id <= watermark —
+  // a planning-time partition-pruning predicate — so it sees every
+  // committed batch whole and never a batch that is mid-write or
+  // mid-replay. Because Spark microbatch ids are strictly increasing
+  // and writeBatch rewrites exactly its own tree, a single watermark
+  // long IS the full manifest.
+
+  /** Advance the committed-batch watermark (atomic pointer swap). */
+  def commitBatchWatermark(spark: SparkSession, path: String, batchId: Long): Unit =
+    writePointer(spark, path, BatchWatermarkName, batchId)
+
+  /** Highest committed batch id, if any batch has been committed. */
+  def batchWatermark(spark: SparkSession, path: String): Option[Long] =
+    readPointer(spark, path, BatchWatermarkName)
+
+  /** Consistent read of a streaming-append store: only batches at or
+    * below the committed watermark are visible (partition-pruned at
+    * planning time — graft_batch_id is a partition column). Throws if
+    * no batch was ever committed, matching [[readSnapshot]].
+    */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val wm = batchWatermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"readCommitted: no committed batches at $path"))
+    readPartitioned(spark, path).filter(col("graft_batch_id") <= wm)
   }
 
   /** Stage + commit in one call — the normal publish path. */

@@ -348,6 +348,32 @@ object EventStreams {
       }
       .start()
 
+  /** [[sinkPartitioned]] with the round-11 watermark commit: after a
+    * batch's tree lands, ONE atomic pointer swap marks it committed,
+    * and `PartitionedStore.readCommitted` shows readers every
+    * committed batch whole — never a batch mid-write or mid-replay.
+    * This closes the concurrency gap [[sinkPartitioned]]'s contract
+    * documents (its delete-then-rewrite replay is visible to a
+    * concurrent reader): a crash between the write and the commit
+    * leaves an orphan tree BELOW the watermark's horizon, and the
+    * replay rewrites it before the watermark ever reaches it.
+    * SourcesSpec pins the reader-isolation sequence; StreamingSpec
+    * drives it through a real MemoryStream restart.
+    */
+  def sinkCommitted(stream: DataFrame, path: String, partitionCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.PartitionedStore.writeBatch(
+          batch.toDF(), path, partitionCols, batchId)
+        graft.sources.PartitionedStore.commitBatchWatermark(
+          batch.sparkSession, path, batchId)
+      }
+      .start()
+
   /** Walks a time-sorted slice of one user's events, closing sessions
     * whose gap exceeds `gapUs`. Returns (closed sessions, open tail).
     */

@@ -296,6 +296,31 @@ class SourcesSpec extends SparkSpec {
     assert(PartitionedStore.readSnapshot(spark, sdir).count() == n1)
   }
 
+  test("watermark-committed append: uncommitted batches invisible, committed batches whole") {
+    val adir = java.nio.file.Files
+      .createTempDirectory("graft_append").toString + "/store"
+    val e = tables.events.select("event_id", "user_id", "ts", "event_type")
+    val b0 = e.filter(col("event_id") % 3 === 0)
+    val b1 = e.filter(col("event_id") % 3 === 1)
+    // batch 0 lands + commits; batch 1 lands but the writer "dies"
+    // before the watermark moves — a reader must see exactly batch 0
+    PartitionedStore.writeBatch(b0, adir, Seq("event_type"), 0L)
+    PartitionedStore.commitBatchWatermark(spark, adir, 0L)
+    PartitionedStore.writeBatch(b1, adir, Seq("event_type"), 1L)
+    val seen = PartitionedStore.readCommitted(spark, adir)
+    assert(seen.count() == b0.count(), "reader saw an uncommitted batch")
+    assert(seen.filter(col("event_id") % 3 === 1).isEmpty)
+    // the watermark filter prunes batch directories at PLANNING time
+    val plan = seen.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*graft_batch_id".r.findFirstIn(plan).isDefined,
+      s"watermark did not become a partition filter:\n$plan")
+    // commit batch 1 -> both visible, whole
+    PartitionedStore.commitBatchWatermark(spark, adir, 1L)
+    assert(PartitionedStore.readCommitted(spark, adir).count()
+      == b0.count() + b1.count())
+  }
+
   test("z-order row-group skipping beats a 1-D sort on a 2-D box predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // independent-ish dimensions over a controlled row count so the

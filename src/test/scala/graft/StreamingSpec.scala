@@ -157,6 +157,28 @@ class StreamingSpec extends SparkSpec {
     assert(stored() == first, "replayed batch 0 duplicated its partition output")
   }
 
+  test("sinkCommitted: every streamed row lands at or below the committed watermark") {
+    import graft.sources.PartitionedStore
+    val out = java.nio.file.Files.createTempDirectory("graft_wm_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_ckpt").toString
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("doc_id"), col("source"))
+    val q = EventStreams.sinkCommitted(stream, out, Seq("source"), ckpt)
+    q.awaitTermination(120000)
+    // the drain committed its batches: the consistent read sees the
+    // full corpus, and the watermark equals the highest landed batch
+    val wm = PartitionedStore.batchWatermark(spark, out)
+    assert(wm.nonEmpty, "no watermark committed after drain")
+    val seen = PartitionedStore.readCommitted(spark, out)
+    assert(seen.count() == tables.documents.count())
+    // partition-value inference reads graft_batch_id back as INT
+    val maxLanded = spark.read.parquet(out)
+      .selectExpr("max(cast(graft_batch_id as bigint))").head.getLong(0)
+    assert(wm.contains(maxLanded), s"watermark $wm behind landed $maxLanded")
+  }
+
   test("q73: stream-static enrichment join over file source equals batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
