@@ -97,6 +97,27 @@ class BpeSpec extends SparkSpec {
       assert(sparkCount(t, merges) <= sparkCount(t, m1), s"text '$t'")
   }
 
+  test("trained tables carry no rank inversions: every multi-char component was built earlier") {
+    // The q119/q213 DuckDB oracle replays encoding as a rank-ordered
+    // sequential fold; its equivalence with the native min-rank-first
+    // loop rests on this structural property of TRAINED tables: a
+    // merge can only reference symbols that already exist, so (x, yz)
+    // can never rank before (y, z). Pin it directly on the
+    // corpus-trained table instead of leaving it an argument.
+    val merges = Bpe.learnFromCorpus(tables.documents, "text", topV = 5000, nMerges = 200)
+    assert(merges.nonEmpty)
+    val producedAt = merges.zipWithIndex
+      .map { case ((a, b), i) => (a + b) -> i }.toMap
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).filter(_.length > 1).foreach { c =>
+        val made = producedAt.get(c)
+        assert(made.exists(_ < r),
+          s"merge $r ($a, $b): component '$c' not produced by an earlier merge " +
+            s"(produced at $made) — rank inversion, the oracle replay would diverge")
+      }
+    }
+  }
+
   test("q119 runs end-to-end with a shuffle-free encode projection") {
     val df = run("q119_bpe_tokenize")
     val rows = df.collect()
