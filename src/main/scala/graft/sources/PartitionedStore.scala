@@ -260,6 +260,20 @@ object PartitionedStore {
     spark.read.parquet(s"$path/graft_snapshot=$id")
   }
 
+  /** Time-travel read of a SPECIFIC published snapshot — the reader
+    * form [[vacuumSnapshots]]' keep-window exists for: a long job pins
+    * the id it started on and stays consistent while later publishes
+    * land. Throws if the id was never staged or has been vacuumed.
+    */
+  def readSnapshotAt(spark: SparkSession, path: String, id: Long): DataFrame = {
+    val (root, fs) = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(root, s"graft_snapshot=$id")
+    if (!fs.exists(dir))
+      throw new IllegalStateException(
+        s"readSnapshotAt: snapshot $id not present at $path (never staged, or vacuumed)")
+    spark.read.parquet(dir.toString)
+  }
+
   /** Drop published snapshots older than the live one, keeping
     * `keep` predecessors for in-flight readers — the vacuum half of
     * the protocol (time-travel readers would pin ids instead).

@@ -292,8 +292,15 @@ class SourcesSpec extends SparkSpec {
     val id3b = PartitionedStore.stageSnapshot(v1, sdir, Seq("event_type"))
     assert(id3b == 3L, "re-stage after a crash must reuse the uncommitted id")
     PartitionedStore.commitSnapshot(spark, sdir, id3b)
+    // a pinned reader can still time-travel to the kept predecessor...
+    assert(PartitionedStore.readSnapshotAt(spark, sdir, 2L).count() == v2.count())
     assert(PartitionedStore.vacuumSnapshots(spark, sdir, keep = 1) == Seq(1L))
     assert(PartitionedStore.readSnapshot(spark, sdir).count() == n1)
+    // ...until vacuum drops it past the keep window
+    intercept[IllegalStateException] {
+      PartitionedStore.readSnapshotAt(spark, sdir, 1L)
+    }
+    assert(PartitionedStore.readSnapshotAt(spark, sdir, 2L).count() == v2.count())
   }
 
   test("watermark-committed append: uncommitted batches invisible, committed batches whole") {
