@@ -21,10 +21,13 @@ import graft.functions.{det, vec}
   * fold both engines share (the q50 rule: `vec.dot` ≡
   * `list_dot_product`); per-dimension component sums ride D18_6
   * quantization + exact decimal addition (the q129 rule — components
-  * are unit-scale floats, exactly representable as doubles); each
-  * per-dim mean² and per-vector norm² is one fixed IEEE chain
-  * re-quantized before its exact rollup. No data-ordered double sum
-  * anywhere.
+  * are unit-scale floats, exactly representable as doubles); per-dim
+  * means stay RAW doubles (sum/n of identical exact inputs is
+  * bit-identical — re-quantizing that division is the det.scala
+  * guaranteed-half-tie class), the centroid norm is the same dot
+  * fold over the dim-ORDERED centroid array, and per-vector norm² is
+  * quantized once before its exact rollup. No data-ordered double
+  * sum anywhere.
   *
   * Scale shape: ONE embeddings scan serves both legs — the norm leg
   * folds in-row (no explode), the centroid leg explodes to
@@ -45,12 +48,12 @@ object EmbedStats {
       |  SELECT label, i, CAST(v[i] AS DECIMAL(18,6)) AS xq FROM cells
       |), dimmean AS (
       |  SELECT label, i,
-      |    CAST((CAST(SUM(xq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |       * (CAST(SUM(xq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |       AS DECIMAL(18,6)) AS m2q
+      |    CAST(SUM(xq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mq
       |  FROM comp GROUP BY 1, 2
       |), cn AS (
-      |  SELECT label, CAST(SUM(m2q) AS DOUBLE) AS centroid_norm2
+      |  SELECT label,
+      |    list_dot_product(list(mq ORDER BY i), list(mq ORDER BY i))
+      |      AS centroid_norm2
       |  FROM dimmean GROUP BY 1
       |), vn AS (
       |  SELECT label, COUNT(*) AS n_vecs,
@@ -77,13 +80,19 @@ object EmbedStats {
       .select(col("label"), posexplode(col("v")))
       .select(col("label"), col("pos").as("i"),
         col("col").cast(det.D18_6).as("xq"))
+    // per-dim means stay RAW doubles (exact decimal sum / int count is
+    // bit-identical cross-engine; re-quantizing a sum/n division is
+    // the det.scala guaranteed-half-tie class — the q241 lesson), and
+    // the norm is the shared sequential dot fold over the dim-ORDERED
+    // centroid array — deterministic order, no data-ordered sum
     val m = cells.groupBy(col("label"), col("i"))
-      .agg(sum(col("xq")).as("graft_s"), count(lit(1)).as("graft_n"))
-    val mean = col("graft_s").cast("double") / col("graft_n").cast("double")
-    val cn = m
-      .select(col("label"), (mean * mean).cast(det.D18_6).as("m2q"))
-      .groupBy(col("label"))
-      .agg(sum(col("m2q")).cast("double").as("centroid_norm2"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)).cast("double"))
+        .as("mq"))
+    val cn = m.groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, mq)))," +
+        " p -> p.mq)").as("graft_cv"))
+      .select(col("label"),
+        vec.dot(col("graft_cv"), col("graft_cv")).as("centroid_norm2"))
     val vn = e.groupBy(col("label")).agg(
       count(lit(1)).as("n_vecs"),
       (sum(vec.dot(col("v"), col("v")).cast(det.D18_6)).cast("double")
