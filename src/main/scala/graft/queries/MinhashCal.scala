@@ -33,6 +33,13 @@ import graft.functions.det
   * exact-Jaccard join ships shingle sets for CANDIDATE docs only
   * (pair volume ∝ near-dup density, the banding bound). Output
   * ≤ 33 calibration rows.
+  *
+  * Cost honesty: q41 runs the same banding over xxhash64 in ~0.9 s at
+  * sf0.1; this query pays ~8 s for the md5 hex + interpreted
+  * higher-order signature lambdas (Spark HOFs don't codegen) — the
+  * deliberate price of DuckDB replayability. q41 stays the production
+  * dedup path; this is its oracle-checked calibration twin, run at
+  * audit cadence, not per-batch.
   */
 object MinhashCal {
 
