@@ -47,11 +47,16 @@ class PlanHygieneSpec extends SparkSpec {
     *    (never item instances; NegativeSample.scala scale notes): the
     *    complement sample needs every (customer, brand) pair, and the
     *    broadcast side is the bounded vocabulary.
+    *  - q241 — the silhouette scores every vector against EVERY label
+    *    centroid by definition (a = own, b = min over others), and the
+    *    broadcast side is the |labels|-row centroid aggregate — the
+    *    bounded label alphabet (Silhouette.scala scale notes), the
+    *    same grouping-key boundedness provablyTiny can't see.
     */
   private val allowedBnlj = Set(
     "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
     "q88_ann_pq", "q153_theil_sen", "q165_chi_square",
-    "q167_negative_sampling")
+    "q167_negative_sampling", "q241_silhouette")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
