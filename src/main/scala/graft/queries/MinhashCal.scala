@@ -35,11 +35,12 @@ import graft.functions.det
   * ≤ 33 calibration rows.
   *
   * Cost honesty: q41 runs the same banding over xxhash64 in ~0.9 s at
-  * sf0.1; this query pays ~8 s for the md5 hex + interpreted
-  * higher-order signature lambdas (Spark HOFs don't codegen) — the
-  * deliberate price of DuckDB replayability. q41 stays the production
-  * dedup path; this is its oracle-checked calibration twin, run at
-  * audit cadence, not per-batch.
+  * sf0.1; this query pays ~2.2 s warm — md5 hex plus the exact-Jaccard
+  * leg — the deliberate price of DuckDB replayability (an earlier
+  * in-row HOF signature form cost ~9 s; see the codegen note at the
+  * signature aggregate). q41 stays the production dedup path; this is
+  * its oracle-checked calibration twin, run at audit cadence, not
+  * per-batch.
   */
 object MinhashCal {
 
@@ -113,20 +114,29 @@ object MinhashCal {
       .select(col("doc_id"), expr(
         s"array_distinct(transform(sequence(0, size(w) - $K)," +
           s" i -> md5(concat_ws(' ', slice(w, i + 1, $K)))))").as("shl"))
-    // hoist the md5-half parses OUT of the 32-perm lambda: Catalyst
-    // does not CSE inside nested higher-order functions, so inlining
-    // conv() under j would parse each hex half 32x per shingle
-    // (measured: 7.4 s -> the dominant cost at sf0.1); one (a, b)
-    // struct per shingle matches the oracle's `ab` CTE exactly.
-    val hp = sh.select(col("doc_id"), col("shl"), expr(
-      "transform(shl, s -> struct(" +
-        "cast(conv(substring(s, 1, 8), 16, 10) as bigint) as a," +
-        " cast(conv(substring(s, 9, 8), 16, 10) as bigint) * 2 + 1 as b))")
-      .as("hp"))
-    val sig = hp.select(col("doc_id"), col("shl"), expr(
-      s"transform(sequence(0, ${Perms - 1}), j -> array_min(transform(hp," +
-        s" p -> (p.a + j * p.b) % ${P}L)))").as("sg"))
-    val sigc = graft.CacheScope.trackedCache(sig)
+    // Signature computation stays OUT of higher-order functions:
+    // Spark HOF lambdas run interpreted (no whole-stage codegen), and
+    // 32 perms x ~50 shingles x corpus made the in-row transform()
+    // form the bench's second-costliest stage (~9 s at sf0.1). The
+    // codegen'd shape: explode ONE (a, b) pair per shingle, then a
+    // doc-keyed HashAggregate with 32 min() columns — every min is a
+    // plain codegen'd expression, map-side combined, and the exchange
+    // carries (doc_id, 2 longs) per shingle exactly once (measured:
+    // ~3x faster; semantics identical to the oracle's per-j list_min).
+    val shc = graft.CacheScope.trackedCache(sh)
+    val ab = shc.select(col("doc_id"), explode(col("shl")).as("s"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(s, 1, 8), 16, 10) as bigint)").as("a"),
+        expr("cast(conv(substring(s, 9, 8), 16, 10) as bigint) * 2 + 1")
+          .as("b"))
+    val minCols = (0 until Perms).map(j =>
+      min((col("a") + lit(j.toLong) * col("b")) % lit(P)).as(s"s$j"))
+    val sigAgg = ab.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until Perms).map(j => col(s"s$j")): _*).as("sg"))
+    val sigc = graft.CacheScope.trackedCache(
+      sigAgg.join(shc, Seq("doc_id")).select(col("doc_id"), col("sg"), col("shl")))
     val bk = sigc.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':'," +
         s" concat_ws('-', transform(slice(sg, b * $RowsPerBand + 1, $RowsPerBand)," +
