@@ -63,4 +63,32 @@ object PrefixSum {
       .withColumn(outCol, sum(value.cast("long")).over(w) + col("graft_offset"))
       .drop("graft_pid", "graft_offset")
   }
+
+  /** Adds `outCol` = NTILE(`buckets`) over the global `orderBy` total
+    * order — the distributed form of `ntile(k).over(Window.orderBy(…))`,
+    * which would otherwise collapse the whole frame into ONE
+    * WindowExec task. The rank comes from [[orderedRunningSum]] of 1s;
+    * the rank→bucket map is the SQL-standard NTILE split in exact
+    * int64 arithmetic (q = n div k, r = n mod k; the first r buckets
+    * hold q+1 rows), so the result is bit-identical to the engines'
+    * NTILE on the same total order. `orderBy` must be a TOTAL order.
+    * Output type is long (matches a BIGINT oracle column).
+    */
+  def globalNtile(df: DataFrame, orderBy: Seq[Column], buckets: Int,
+      outCol: String, numPartitions: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ranked = orderedRunningSum(df, orderBy, lit(1L), "graft_ntile_i",
+      numPartitions)
+    val nTot = ranked.agg(count(lit(1)).cast("long").as("graft_ntile_n"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN graft_ntile_i <=
+           |    (graft_ntile_n % $buckets) * (graft_ntile_n div $buckets + 1)
+           |  THEN (graft_ntile_i - 1) div (graft_ntile_n div $buckets + 1) + 1
+           |  ELSE (graft_ntile_n % $buckets)
+           |    + (graft_ntile_i
+           |       - (graft_ntile_n % $buckets) * (graft_ntile_n div $buckets + 1)
+           |       - 1) div (graft_ntile_n div $buckets) + 1 END""".stripMargin))
+      .drop("graft_ntile_i", "graft_ntile_n")
+  }
 }

@@ -17,12 +17,13 @@ import graft.Q
   *
   * Determinism: degrees and all five moments are exact int64 sums
   * over the directed edge list (both orientations make Σx = Σy and
-  * Σx² = Σy², so r = (m·Σxy − Σx·Σy)/(m·Σxx − Σx²) exactly); r and
-  * avg_nbr_deg are single IEEE divisions of exact int64s —
-  * bit-identical cross-engine with no decimal routing (int64→double
-  * is one correctly-rounded conversion on both engines; the pruned
-  * moments stay far below 2⁵³ — the support prune bounds m, and the
-  * q170 measurement shows pruned degree FALLS with SF).
+  * Σx² = Σy², so r = (m·Σxy − Σx·Σy)/(m·Σxx − Σx²) exactly); the
+  * moment PRODUCTS ride double (each int64→double conversion and
+  * each double ×/−/÷ is correctly rounded identically on both
+  * engines, and a product past 2⁶³ would wrap in Spark but error in
+  * DuckDB — the double route is both safe and cross-engine exact);
+  * a degree-regular graph (variance term 0, e.g. all isolated edges)
+  * is guarded to NULL on both sides instead of NaN-vs-NULL.
   *
   * Scale shape: the edge list is the same support-pruned frame the
   * whole graph tier rides (baskets self-join bounded by per-order
@@ -66,8 +67,13 @@ object Assortativity {
       |SELECT knn.deg, knn.n_ends,
       |  CAST(knn.sum_nbr_deg AS DOUBLE) / CAST(knn.n_ends AS DOUBLE)
       |    AS avg_nbr_deg,
-      |  CAST(mo.m * mo.sxy - mo.sx * mo.sx AS DOUBLE)
-      |    / CAST(mo.m * mo.sxx - mo.sx * mo.sx AS DOUBLE) AS assortativity
+      |  CASE WHEN CAST(mo.m AS DOUBLE) * CAST(mo.sxx AS DOUBLE)
+      |         - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE (CAST(mo.m AS DOUBLE) * CAST(mo.sxy AS DOUBLE)
+      |         - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE))
+      |       / (CAST(mo.m AS DOUBLE) * CAST(mo.sxx AS DOUBLE)
+      |         - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE)) END
+      |    AS assortativity
       |FROM knn CROSS JOIN mo
       |ORDER BY deg""".stripMargin) { t =>
     val b = t.lineitem
@@ -102,12 +108,21 @@ object Assortativity {
     val knn = ed.groupBy(col("dx").as("deg"))
       .agg(count(lit(1)).as("n_ends"),
         sum(col("dy")).cast("long").as("sum_nbr_deg"))
+    // moment products ride DOUBLE (int64→double and double ×/− are
+    // correctly rounded on both engines, so bit-identical) — an int64
+    // product past 2⁶³ would silently wrap in Spark but ERROR in
+    // DuckDB; and a degree-regular graph (m·Σxx = Σx², e.g. all
+    // isolated edges) is guarded to NULL on both sides instead of
+    // Spark-NaN vs DuckDB-NULL
+    val md = col("m").cast("double")
+    val sxd = col("sx").cast("double")
+    val den = md * col("sxx").cast("double") - sxd * sxd
     knn.crossJoin(broadcast(mo))
       .select(col("deg"), col("n_ends"),
         (col("sum_nbr_deg").cast("double") / col("n_ends").cast("double"))
           .as("avg_nbr_deg"),
-        ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
-          / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        when(den =!= 0,
+          (md * col("sxy").cast("double") - sxd * sxd) / den)
           .as("assortativity"))
       .orderBy(col("deg"))
   }

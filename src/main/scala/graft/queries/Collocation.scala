@@ -17,10 +17,12 @@ import graft.Q
   * Scale shape: bigrams are a per-row adjacent-pair explode inside
   * the scan stage, then ONE map-side-combined aggregate to (a, b,
   * cnt) — the only fact-sized exchange, and its output is bounded by
-  * |vocab|² regardless of corpus size. Marginals + the event total
-  * ride three windows OVER THAT BOUNDED FRAME (never the fact), and
-  * PMI is a projection. Min-support ≥ 5 keeps the report to pairs
-  * with statistical footing.
+  * |vocab|² regardless of corpus size. Marginals ride two
+  * PARTITIONED windows over that frame (never the fact); the event
+  * total is a one-row broadcast (an empty-partition window would
+  * collapse the vocab² frame into one task); PMI is a projection.
+  * Min-support ≥ 5 keeps the report to pairs with statistical
+  * footing.
   *
   * Determinism: counts are exact integers; the single `ln` is
   * computed from integer-derived doubles with the identical
@@ -36,7 +38,9 @@ object Collocation {
     * distribution (attraction > 0, repulsion < 0, independence = 0).
     */
   def pmi(docs: DataFrame, minSupport: Int): DataFrame = {
-    val pairs = docs
+    // cached: the frame feeds both the marginal windows and the
+    // one-row event total below
+    val pairs = graft.CacheScope.trackedCache(docs
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
@@ -46,11 +50,16 @@ object Collocation {
       .select(
         split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"),
-        col("c_ab"))
+        col("c_ab")))
+    // the event total rides a one-row broadcast, NOT an
+    // empty-partition window — the bigram frame is |vocab|²-bounded
+    // but still grows with the corpus, and a global window would
+    // collapse it into one task (exact integer sum either way)
+    val tot = pairs.agg(sum(col("c_ab")).as("total"))
     pairs
       .withColumn("c_left", sum(col("c_ab")).over(Window.partitionBy(col("a"))))
       .withColumn("c_right", sum(col("c_ab")).over(Window.partitionBy(col("b"))))
-      .withColumn("total", sum(col("c_ab")).over(Window.partitionBy()))
+      .crossJoin(broadcast(tot))
       .filter(col("c_ab") >= minSupport)
       .select(col("a"), col("b"), col("c_ab"), col("c_left"), col("c_right"),
         round(log(

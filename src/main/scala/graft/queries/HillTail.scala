@@ -61,8 +61,9 @@ object HillTail {
       |  WHERE ranked.rnk < thr.kth
       |)
       |SELECT source, COUNT(*) AS k_used,
-      |  CAST(COUNT(*) AS DOUBLE)
-      |    / (CAST(SUM(lq) AS DOUBLE) * $Ln2) AS hill_alpha
+      |  CASE WHEN SUM(lq) = 0 THEN NULL
+      |    ELSE CAST(COUNT(*) AS DOUBLE)
+      |      / (CAST(SUM(lq) AS DOUBLE) * $Ln2) END AS hill_alpha
       |FROM terms GROUP BY source
       |ORDER BY source""".stripMargin) { t =>
     hill(t.documents)
@@ -107,10 +108,15 @@ object HillTail {
       .select(col("source"),
         log2(col("c").cast("double") / col("xk").cast("double"))
           .cast(det.D18_6).as("lq"))
+    // flat-spectrum guard: all top-(kth−1) counts equal to x_k makes
+    // SUM(lq) = 0 — Spark would emit Infinity where DuckDB yields NULL
+    // on 1/0, so both sides guard the degenerate fold to NULL (§6, the
+    // q203 degenerate-guard pattern)
     terms.groupBy(col("source"))
       .agg(count(lit(1)).as("k_used"),
-        (count(lit(1)).cast("double")
-          / (sum(col("lq")).cast("double") * lit(0.6931471805599453)))
+        when(sum(col("lq")) =!= 0,
+          count(lit(1)).cast("double")
+            / (sum(col("lq")).cast("double") * lit(0.6931471805599453)))
           .as("hill_alpha"))
       .orderBy(col("source"))
   }

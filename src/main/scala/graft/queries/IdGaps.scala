@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.operators.PrefixSum
 
 /** q161: SEQUENCE-GAP audit — missing-ID range detection over the
   * orderkeys REFERENCED BY lineitem (the dense o_orderkey space minus
@@ -14,16 +14,16 @@ import graft.Q
   * source system emits densely should arrive densely, and every hole
   * is a (start, end, width) incident row). The integer twin of q148's
   * date islands (and the q93 ledger's ordering-axis complement),
-  * spelled with `lead` so each gap is found exactly once with no
-  * spine join against the full ID range (a generated spine would be
-  * max(id)-sized — at 100 TB that is the whole keyspace; the lead
-  * spelling only touches PRESENT ids).
+  * spelled as a successor lookup so each gap is found exactly once
+  * with no spine join against the full ID range (a generated spine
+  * would be max(id)-sized — at 100 TB that is the whole keyspace;
+  * this only touches PRESENT ids).
   *
   * Scale shape: distinct ids in one map-side-combined exchange; the
-  * lead window is one global sort of the distinct-id frame (the
-  * honest cost of a total-order audit; the per-shard swap partitions
-  * by id-range bucket and stitches boundaries). All integers —
-  * hash-exact.
+  * successor comes from the distributed prefix rank plus a rank
+  * self-join (range exchange + per-partition windows + one equi-join
+  * — full parallelism, never the one-task global lead window). All
+  * integers — hash-exact.
   */
 object IdGaps {
 
@@ -33,10 +33,20 @@ object IdGaps {
     * no-gap empty result.
     */
   def gaps(df: DataFrame, idCol: String): DataFrame = {
+    // successor via the distributed prefix rank + a rank self-join,
+    // NOT lead() over an empty-partition window: the distinct-id
+    // frame is data-sized, and a global window would collapse it
+    // into ONE task. rank is a total order on graft_id, so joining
+    // rank r with rank r+1 IS lead(); the last id has no successor
+    // row (inner join), exactly like lead()'s trailing NULL after
+    // the gap filter.
     val ids = df.select(col(idCol).cast("long").as("graft_id")).distinct()
-    val w = Window.orderBy(col("graft_id"))
-    ids
-      .withColumn("graft_next", lead(col("graft_id"), 1).over(w))
+    val ranked = PrefixSum.orderedRunningSum(
+      ids, orderBy = Seq(col("graft_id")), value = lit(1L),
+      outCol = "graft_r", numPartitions = 8)
+    val succ = ranked.select((col("graft_r") - 1).as("graft_r"),
+      col("graft_id").as("graft_next"))
+    ranked.join(succ, Seq("graft_r"))
       .filter(col("graft_next") > col("graft_id") + 1)
       .select(
         (col("graft_id") + 1).as("gap_start"),

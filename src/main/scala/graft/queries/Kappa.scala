@@ -66,7 +66,9 @@ object Kappa {
       |SELECT n, diag AS n_agree,
       |  CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
       |  CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE) AS p_chance,
-      |  CAST(n * diag - e AS DOUBLE) / CAST(n * n - e AS DOUBLE) AS kappa
+      |  CASE WHEN n * n - e = 0 THEN NULL
+      |    ELSE CAST(n * diag - e AS DOUBLE) / CAST(n * n - e AS DOUBLE)
+      |    END AS kappa
       |FROM tot""".stripMargin) { t =>
     val p = TextProfile(col("text"))
     val scored = t.documents.select(col("lang").as("declared"),
@@ -104,14 +106,18 @@ object Kappa {
       sum(col("c")).cast("long").as("n"),
       coalesce(sum(when(col("d") === col("p"), col("c"))), lit(0L))
         .cast("long").as("diag"))
+    // degenerate guard: all mass in ONE cell gives n² = E, so κ is
+    // 0/0 — Spark NaN vs DuckDB NULL; both sides guard to NULL
+    val kden = col("n") * col("n") - col("e")
     nd.crossJoin(broadcast(e))
       .select(col("n"), col("diag").as("n_agree"),
         (col("diag").cast("double") / col("n").cast("double"))
           .as("p_observed"),
         (col("e").cast("double") / (col("n") * col("n")).cast("double"))
           .as("p_chance"),
-        ((col("n") * col("diag") - col("e")).cast("double")
-          / (col("n") * col("n") - col("e")).cast("double")).as("kappa"))
+        when(kden =!= 0,
+          (col("n") * col("diag") - col("e")).cast("double")
+            / kden.cast("double")).as("kappa"))
   }
 
   def all: Seq[Q] = Seq(q235)

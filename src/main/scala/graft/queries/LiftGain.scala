@@ -16,16 +16,19 @@ import graft.Q
   * (q190 AUC, q191 calibration, q175 NDCG, q189 MRR/MAP) with the
   * business-facing table.
   *
-  * Determinism: deciles come from ntile(10) over a TOTAL order
-  * (score DESC, id ASC — the §6(c) rule); every reported ratio rides
+  * Determinism: deciles are the SQL-standard NTILE(10) split of a
+  * TOTAL order (score DESC, id ASC — the §6(c) rule), derived in
+  * exact int64 arithmetic from a distributed prefix rank; every
+  * reported ratio rides
   * CLEARED DENOMINATORS — lift = (s_d·N)/(n_d·S), gain = cum_s/S —
   * exact int64 products cast to double for ONE IEEE division each,
   * so the table is hash-exact with no decimal lanes at all. Zero
   * responders overall guards lift/gain to NULL.
   *
   * Scale shape: the scored frame collapses to (decile, n, s) cells
-  * via ntile's single sort (the unavoidable ranking pass — same cost
-  * class as any global top-k); everything after is a 10-row fold.
+  * via the two-phase prefix scan (range exchange + per-partition
+  * windows — full parallelism, never a one-task global sort);
+  * everything after is a 10-row fold.
   * The score here is the q191 discount-derived propensity, computed
   * in the scan.
   */
@@ -35,15 +38,24 @@ object LiftGain {
     * spec can pin a perfect ranker (all responders in the top
     * deciles), a uniform ranker (lift 1 everywhere), and the exact
     * cleared-denominator arithmetic.
+    *
+    * The decile is NTILE(10) over the global (score DESC, id) total
+    * order — but derived from a [[PrefixSum.orderedRunningSum]] rank
+    * (range-partition + bounded driver offsets), NOT a bare
+    * `Window.orderBy`: the scored frame is fact-sized and an
+    * empty-partition window collapses it into ONE WindowExec task.
+    * The rank→bucket map is the SQL-standard NTILE split in exact
+    * int64 arithmetic: with q = n div 10, r = n mod 10, the first r
+    * buckets hold q+1 rows — identical to the oracle's NTILE by
+    * construction (LiftGainSpec pins the non-divisible case).
     */
   def liftTable(df: DataFrame, id: Column, score: Column,
       label: Column): DataFrame = {
-    val ranked = df
-      .select(id.as("graft_id"), score.as("graft_p"),
-        label.cast("long").as("graft_y"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("graft_p").desc,
-          col("graft_id").asc)))
+    val base = df.select(id.as("graft_id"), score.as("graft_p"),
+      label.cast("long").as("graft_y"))
+    val ranked = graft.operators.PrefixSum.globalNtile(
+      base, orderBy = Seq(col("graft_p").desc, col("graft_id").asc),
+      buckets = 10, outCol = "decile", numPartitions = 8)
     val cells = ranked
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("graft_y")).as("graft_s"))

@@ -19,8 +19,10 @@ import graft.functions.det
   * allocation (σ ignored) sits beside it as the naive baseline.
   *
   * Determinism: moments are exact decimals with §6(k) VARCHAR-bounced
-  * oracle casts (the q242 surface); σ/weights/ideals are fixed IEEE
-  * chains over identical doubles; floors, remainder ranks, and seat
+  * oracle casts (the q242 surface); σ/weights are fixed IEEE chains
+  * over identical doubles, with nw quantized D28_6 before the
+  * cross-stratum sum (§6 — a data-ordered double total would make the
+  * seat ranking order-sensitive); floors, remainder ranks, and seat
   * assignment are exact integer/window arithmetic on bit-identical
   * inputs. Both allocations sum EXACTLY to the budget by
   * construction.
@@ -47,13 +49,14 @@ object Neyman {
       |  FROM cust GROUP BY seg
       |), w AS (
       |  SELECT seg, n,
-      |    CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
-      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS nw,
+      |    CAST(CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS DECIMAL(28,6)) AS nw,
       |    CAST(n AS DOUBLE) AS pw
       |  FROM m WHERE n >= 2
       |), ideal AS (
       |  SELECT seg, n,
-      |    $Budget * nw / (SELECT SUM(nw) FROM w) AS ni,
+      |    $Budget * CAST(nw AS DOUBLE)
+      |      / CAST((SELECT SUM(nw) FROM w) AS DOUBLE) AS ni,
       |    $Budget * pw / (SELECT SUM(pw) FROM w) AS pi
       |  FROM w
       |), seats AS (
@@ -89,13 +92,18 @@ object Neyman {
       sum((col("y").cast("double") * col("y").cast("double"))
         .cast(det.D28_6)).cast("double").as("syy"))
     val nd = col("n").cast("double")
+    // nw quantized D28_6 BEFORE the cross-stratum sum: the total is an
+    // exact decimal fold (order-independent), so a last-bit difference
+    // in double sum order can't flip floor() or a remainder-seat rank
+    // cross-engine. pw stays double — exact integer values sum exactly.
     val w = m.filter(col("n") >= 2).select(col("seg"), col("n"),
       (nd * sqrt((nd * col("syy") - col("sy") * col("sy")) /
-        (nd * (col("n") - 1).cast("double")))).as("nw"),
+        (nd * (col("n") - 1).cast("double")))).cast(det.D28_6).as("nw"),
       nd.as("pw"))
-    val tot = w.agg(sum(col("nw")).as("tnw"), sum(col("pw")).as("tpw"))
+    val tot = w.agg(sum(col("nw")).cast("double").as("tnw"),
+      sum(col("pw")).as("tpw"))
     val ideal = w.crossJoin(broadcast(tot)).select(col("seg"), col("n"),
-      (lit(budget) * col("nw") / col("tnw")).as("ni"),
+      (lit(budget) * col("nw").cast("double") / col("tnw")).as("ni"),
       (lit(budget) * col("pw") / col("tpw")).as("pi"))
     val fl = ideal
       .withColumn("nf", floor(col("ni")).cast("long"))

@@ -1,11 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.det
+import graft.operators.PrefixSum
 
 /** q155: RFM SEGMENTATION — the classic recency/frequency/monetary
   * customer-value quartile grid (Hughes 1994, public; the
@@ -24,26 +24,41 @@ import graft.functions.det
   * division each, no rounding.
   *
   * Scale shape: fact → one per-customer rollup (map-side combined,
-  * one exchange); the three ntiles are GLOBAL sorts of the customer
-  * frame — at 100 TB the swap is approx_percentile quartile FENCES
-  * broadcast back (q125's sketch path; same output grain, no global
-  * sort). The observation anchor is a one-row scalar cross-joined
-  * broadcast (q142 discipline). Segment rollup is bounded by 4³.
+  * one exchange); the three ntiles are GLOBAL total orders of the
+  * customer frame, each riding the distributed two-phase prefix scan
+  * (never a one-task window); the fully-exact alternative trade is
+  * approx_percentile quartile FENCES broadcast back (q125's sketch
+  * path; same output grain, one pass, approximate edges). The
+  * observation anchor is a one-row scalar cross-joined broadcast
+  * (q142 discipline). Segment rollup is bounded by 4³.
   */
 object Rfm {
 
   /** RFM quartile cells over per-subject (recency, frequency,
     * monetary) rows. Factored so the spec can pin quartile edges and
     * the tiebreak determinism.
+    *
+    * Each quartile is NTILE(4) over a global total order — derived
+    * via [[PrefixSum.globalNtile]] (range-partition + bounded driver
+    * offsets + exact int64 rank→bucket map), NOT a bare
+    * `Window.orderBy`: the subject frame grows with the data, and an
+    * empty-partition window collapses it into ONE WindowExec task.
+    * Three orders = three prefix scans — the honest cost of three
+    * exact quartile grids; the sketch swap (approx_percentile fences
+    * broadcast back, q125's path) trades exactness for one pass.
     */
   def cells(perCust: DataFrame, idCol: String): DataFrame = {
-    val scored = perCust
-      .withColumn("r_score",
-        ntile(4).over(Window.orderBy(col("recency").desc, col(idCol))))
-      .withColumn("f_score",
-        ntile(4).over(Window.orderBy(col("frequency"), col(idCol))))
-      .withColumn("m_score",
-        ntile(4).over(Window.orderBy(col("monetary"), col(idCol))))
+    def quartile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+        out: String): DataFrame =
+      PrefixSum.globalNtile(df, order, buckets = 4, outCol = out,
+        numPartitions = 8)
+    val scored =
+      quartile(
+        quartile(
+          quartile(perCust,
+            Seq(col("recency").desc, col(idCol)), "r_score"),
+          Seq(col("frequency"), col(idCol)), "f_score"),
+        Seq(col("monetary"), col(idCol)), "m_score")
     scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(

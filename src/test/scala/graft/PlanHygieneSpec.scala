@@ -52,11 +52,16 @@ class PlanHygieneSpec extends SparkSpec {
     *    broadcast side is the |labels|-row centroid aggregate — the
     *    bounded label alphabet (Silhouette.scala scale notes), the
     *    same grouping-key boundedness provablyTiny can't see.
+    *  - q246 — the JSD pair spine is distinct(source) × distinct(source)
+    *    with an sa < sb predicate: no equi-key by definition, and BOTH
+    *    sides are the |sources|-row alphabet aggregate (at 100 TB the
+    *    source list is a catalog, not data — JsdMatrix.scala scale
+    *    notes). Same grouping-key boundedness class as q241.
     */
   private val allowedBnlj = Set(
     "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
     "q88_ann_pq", "q153_theil_sen", "q165_chi_square",
-    "q167_negative_sampling", "q241_silhouette")
+    "q167_negative_sampling", "q241_silhouette", "q246_jsd_matrix")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -101,6 +106,60 @@ class PlanHygieneSpec extends SparkSpec {
     }
     val bad = offenders.result()
     assert(bad.isEmpty, s"plan hygiene violations:\n${bad.mkString("\n")}")
+  }
+
+  /** Queries whose empty-partition window runs over a frame that is
+    * provably BOUNDED (grouping keys from a dimension/alphabet/bucket
+    * catalog, not the data) — the one case where a single-task
+    * WindowExec is fine, because the frame never grows with the data.
+    * Everything else must ride PrefixSum.orderedRunningSum /
+    * globalNtile (the two-phase distributed scan) or a partitioned
+    * window. The value documents WHY the frame is bounded.
+    */
+  private val allowedGlobalWindow: Map[String, String] = Map(
+    "q48_seasonal_patterns" -> "global avg over (month, genre) trend cells — calendar × brand catalog",
+    "q49_binge_behavior" -> "score normalizer max over the <=|brands| output frame",
+    "q129_dsir_weights" -> "hash-bucket totals over the 256-row md5-prefix alphabet",
+    "q142_survival_km" -> "risk-set windows over distinct event DAYS — calendar-bounded",
+    "q143_benford_audit" -> "digit-cell totals over the 9-row leading-digit alphabet",
+    "q145_autocorrelation" -> "lag features over the daily series — calendar-bounded",
+    "q149_growth_mom_yoy" -> "MoM/YoY lags over the monthly series — calendar-bounded",
+    "q159_skyline_pareto" -> "Pareto scan over the part catalog — dimension-bounded",
+    "q160_apportion_budget" -> "largest-remainder seats over the |sources| alphabet",
+    "q164_top_journeys" -> "top-k rank over distinct 3-symbol journeys — <=|event_types|^3",
+    "q165_chi_square" -> "chi-square fold over nations x priorities contingency cells",
+    "q171_ks_test" -> "ECDF cumsums over the distinct-value alphabet of the measure",
+    "q172_mann_whitney" -> "midrank cumsum over the distinct-value alphabet",
+    "q177_equi_depth_hist" -> "cumulative counts over the distinct-value alphabet",
+    "q178_cross_correlation" -> "+-3-day shift lags over the daily series — calendar-bounded",
+    "q182_abc_classification" -> "cumulative revenue over the part catalog — dimension-bounded",
+    "q200_rolling_anomaly" -> "trailing 7-day window over the daily series — calendar-bounded",
+    "q209_seasonal_decompose" -> "centered moving averages over the daily series — calendar-bounded",
+    "q217_lift_gain" -> "cumulative gain over the 10 decile cells",
+    "q230_rank_fusion" -> "ranks assigned AFTER the LIMIT K=200 cut — K-row frames",
+    "q243_neyman_alloc" -> "remainder-seat ranks over the |segments| stratum frame")
+
+  test("no empty-partition WindowExec over a data-sized frame") {
+    // A Window with no PARTITION BY collapses its whole input into ONE
+    // task — correct, but the canonical 100 TB straggler when the
+    // frame grows with the data (the q157/q217 lesson). Bounded frames
+    // (decile cells, segment catalogs, calendar days) are whitelisted
+    // with a recorded rationale; anything else fails the sweep.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      physicalNodes(df).foreach {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !allowedGlobalWindow.contains(q.name) =>
+          offenders += s"${q.name}: empty-partition WindowExec\n  ${w.simpleString(120)}"
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"unwhitelisted global-order windows (use PrefixSum or record a bounded-frame rationale):\n${bad.mkString("\n")}")
   }
 
   test("q193 never forces a broadcast: the bigram-df frame is unbounded at scale") {
