@@ -50,5 +50,51 @@ object Compaction {
       .orderBy(col("l_returnflag"))
   }
 
-  def all: Seq[Q] = Seq(q92)
+  /** q254: the oracle-checked consumer of READER-SAFE committed-store
+    * compaction (`PartitionedStore.compactCommitted` — the
+    * manifest-commit protocol that closes `compact`'s concurrent-
+    * reader gap): events land as three committed batches, the first
+    * two are compacted into a generation (atomic pointer swap), a
+    * THIRD batch commits after the compaction (so the read must union
+    * the immutable generation with the newer root tree), and a FOURTH
+    * batch is staged but never committed — a replay in flight. The
+    * query answers from `readCommitted`; the oracle answers from the
+    * raw events table — hash equality proves the generation + root
+    * union returns every committed row exactly once and the
+    * uncommitted replay stays invisible. (The concurrent-reader
+    * interleaving itself — reads racing the pointer swap — is pinned
+    * in CommittedCompactionSpec; this gate proves the data algebra.)
+    */
+  val q254 = Q.of(
+    "q254_committed_compaction",
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { t =>
+    val dir = s"/tmp/graft_q254_${t.dir.hashCode & 0x7fffffff}"
+    // pointers and generation dirs persist across runs — start clean
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = t.events.select(col("event_id"), col("event_type"), col("value"))
+    def batch(b: Long): Unit = PartitionedStore.writeBatch(
+      ev.filter(pmod(col("event_id"), lit(3)) === b), dir, Seq("event_type"), b)
+    batch(0L); batch(1L)
+    PartitionedStore.commitBatchWatermark(t.spark, dir, 1L)
+    PartitionedStore.compactCommitted(t.spark, dir, Seq("event_type"))
+    batch(2L)
+    PartitionedStore.commitBatchWatermark(t.spark, dir, 2L)
+    // a staged-but-uncommitted replay (duplicate of batch 0's rows)
+    // must stay invisible to the committed read
+    PartitionedStore.writeBatch(
+      ev.filter(pmod(col("event_id"), lit(3)) === 0), dir, Seq("event_type"), 3L)
+    PartitionedStore.readCommitted(t.spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  def all: Seq[Q] = Seq(q92, q254)
 }

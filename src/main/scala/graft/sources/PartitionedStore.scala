@@ -137,15 +137,16 @@ object PartitionedStore {
 
   private val ManifestName = "_graft_manifest"
   private val BatchWatermarkName = "_graft_batch_watermark"
+  private val CompactionName = "_graft_compaction"
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
-  /** Read an atomic pointer file (one long), if present. */
-  private def readPointer(spark: SparkSession, path: String,
-      name: String): Option[Long] = {
+  /** Read an atomic pointer file's text content, if present. */
+  private def readPointerText(spark: SparkSession, path: String,
+      name: String): Option[String] = {
     val (root, fs) = fsOf(spark, path)
     val m = new org.apache.hadoop.fs.Path(root, name)
     if (!fs.exists(m)) None
@@ -153,25 +154,34 @@ object PartitionedStore {
       val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
       val in = fs.open(m)
       try in.readFully(buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
     }
   }
+
+  /** Read an atomic pointer file (one long), if present. */
+  private def readPointer(spark: SparkSession, path: String,
+      name: String): Option[Long] =
+    readPointerText(spark, path, name).map(_.toLong)
 
   /** Write-temp + ONE atomic rename over a pointer file — the only
     * mutation a reader can race with, all-or-nothing on POSIX/HDFS.
     */
-  private def writePointer(spark: SparkSession, path: String,
-      name: String, value: Long): Unit = {
+  private def writePointerText(spark: SparkSession, path: String,
+      name: String, value: String): Unit = {
     val (root, fs) = fsOf(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(root, s".$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       root.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(root, name),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  private def writePointer(spark: SparkSession, path: String,
+      name: String, value: Long): Unit =
+    writePointerText(spark, path, name, value.toString)
 
   /** Currently committed snapshot id, if any publish has completed. */
   def currentSnapshot(spark: SparkSession, path: String): Option[Long] =
@@ -234,11 +244,123 @@ object PartitionedStore {
     * below the committed watermark are visible (partition-pruned at
     * planning time — graft_batch_id is a partition column). Throws if
     * no batch was ever committed, matching [[readSnapshot]].
+    *
+    * Compaction-aware (see [[compactCommitted]]): when a compaction
+    * generation is live, batches at or below its covered watermark
+    * come from the compacted generation directory (which is NEVER
+    * mutated after its pointer commit) and only newer batches from
+    * the append root — so a reader racing a concurrent compaction
+    * still sees every committed batch exactly once: it resolves the
+    * pointers first, and both the generation it lands on and the root
+    * trees above that generation's cover are immutable for the
+    * duration of its scan.
     */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
     val wm = batchWatermark(spark, path).getOrElse(
       throw new IllegalStateException(s"readCommitted: no committed batches at $path"))
-    readPartitioned(spark, path).filter(col("graft_batch_id") <= wm)
+    readCommittedAt(spark, path, wm)
+  }
+
+  /** Current compaction generation and its covered watermark. */
+  def compactionGeneration(spark: SparkSession, path: String): Option[(Long, Long)] =
+    readPointerText(spark, path, CompactionName).map { s =>
+      val Array(g, cov) = s.split(":", 2); (g.toLong, cov.toLong)
+    }
+
+  private def readCommittedAt(spark: SparkSession, path: String,
+      wm: Long): DataFrame =
+    compactionGeneration(spark, path) match {
+      case None =>
+        readPartitioned(spark, path).filter(col("graft_batch_id") <= wm)
+      case Some((g, cov)) =>
+        // min(cov, wm) guards the one benign race: a reader that
+        // resolved an OLDER watermark than the compaction pointer
+        // must not see batches its watermark read didn't admit
+        val genDf = spark.read.parquet(s"$path/$CompactedDir/$g")
+          .filter(col("graft_batch_id") <= math.min(cov, wm))
+        if (cov >= wm) genDf
+        else genDf.unionByName(
+          readPartitioned(spark, path)
+            .filter(col("graft_batch_id") > cov && col("graft_batch_id") <= wm))
+    }
+
+  private val CompactedDir = ".graft_compacted"
+
+  /** READER-SAFE compaction of a committed-batch store — the
+    * concurrent-reader answer [[compact]]'s delete-and-rename contract
+    * explicitly excludes, built from the same manifest-commit idea as
+    * [[publishSnapshot]]: the compacted copy of every batch at or
+    * below the current watermark is written WHOLE under a fresh
+    * generation directory (`.graft_compacted/<g>` — dot-prefixed, so
+    * root partition discovery never sees it), then ONE atomic pointer
+    * swap makes it live. Nothing a reader can hold is ever mutated:
+    * pre-swap readers keep scanning the previous generation + root
+    * trees (untouched until [[vacuumCommitted]]), post-swap readers
+    * get the new generation; a batch committed by the WRITER while
+    * the compaction ran stays visible through the root-side union in
+    * [[readCommitted]] (the pointer's covered watermark fences it).
+    *
+    * One file per (batch, partition) leaf — the repartition keys every
+    * leaf's rows into a single task, the [[compact]] economics without
+    * the swap window. Returns the new generation id. Single
+    * maintenance writer assumed (same contract as compact/publish).
+    */
+  def compactCommitted(spark: SparkSession, path: String,
+      partitionCols: Seq[String]): Long = {
+    val wm = batchWatermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"compactCommitted: no committed batches at $path"))
+    val gNew = compactionGeneration(spark, path).map(_._1).getOrElse(0L) + 1L
+    val (root, fs) = fsOf(spark, path)
+    val genDir = new org.apache.hadoop.fs.Path(root, s"$CompactedDir/$gNew")
+    if (fs.exists(genDir)) fs.delete(genDir, true) // abandoned earlier run
+    val keys = "graft_batch_id" +: partitionCols
+    readCommittedAt(spark, path, wm)
+      .repartition(keys.map(col): _*)
+      .write.partitionBy(keys: _*)
+      .mode("overwrite").parquet(genDir.toString)
+    // the generation records its own cover so vacuum can later tell
+    // which root batch trees its readers can still reach
+    val out = fs.create(new org.apache.hadoop.fs.Path(genDir, "_graft_cover"), true)
+    try out.write(wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    writePointerText(spark, path, CompactionName, s"$gNew:$wm")
+    gNew
+  }
+
+  /** Drop compaction generations older than the live one (keeping
+    * `keep` predecessors for in-flight readers) and the root batch
+    * trees that even the OLDEST KEPT generation already covers — any
+    * reader that can still resolve a pointer reads a kept generation,
+    * and a kept generation serves every batch at or below its own
+    * recorded cover, so those root trees are unreachable. The vacuum
+    * half of [[compactCommitted]]'s protocol (same keep-window
+    * contract as [[vacuumSnapshots]]).
+    */
+  def vacuumCommitted(spark: SparkSession, path: String, keep: Int = 1): Unit = {
+    val (root, fs) = fsOf(spark, path)
+    compactionGeneration(spark, path).foreach { case (live, _) =>
+      val cdir = new org.apache.hadoop.fs.Path(root, CompactedDir)
+      if (!fs.exists(cdir)) return
+      val gens = fs.listStatus(cdir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName.toLong).sorted
+      gens.filter(_ < live - keep).foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(cdir, g.toString), true)
+      }
+      val oldestKept = gens.filter(_ >= live - keep).headOption.getOrElse(live)
+      val coverFile = new org.apache.hadoop.fs.Path(
+        cdir, s"$oldestKept/_graft_cover")
+      if (fs.exists(coverFile)) {
+        val buf = new Array[Byte](fs.getFileStatus(coverFile).getLen.toInt)
+        val in = fs.open(coverFile)
+        try in.readFully(buf) finally in.close()
+        val cov = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("graft_batch_id="))
+          .filter(_.getPath.getName.stripPrefix("graft_batch_id=").toLong <= cov)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    }
   }
 
   /** Stage + commit in one call — the normal publish path. */
