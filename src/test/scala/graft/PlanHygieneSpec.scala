@@ -57,11 +57,16 @@ class PlanHygieneSpec extends SparkSpec {
     *    sides are the |sources|-row alphabet aggregate (at 100 TB the
     *    source list is a catalog, not data — JsdMatrix.scala scale
     *    notes). Same grouping-key boundedness class as q241.
+    *  - q255 — the triplet-margin audit scores every (query, vector)
+    *    pair BY DESIGN, exactly the q50 family: the bounded query set
+    *    is the broadcast side, the corpus streams (TripletMargin.scala
+    *    scale notes; the LSH/IVF tiers are the scale path).
     */
   private val allowedBnlj = Set(
     "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
     "q88_ann_pq", "q153_theil_sen", "q165_chi_square",
-    "q167_negative_sampling", "q241_silhouette", "q246_jsd_matrix")
+    "q167_negative_sampling", "q241_silhouette", "q246_jsd_matrix",
+    "q255_triplet_margin")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -187,11 +192,16 @@ class PlanHygieneSpec extends SparkSpec {
     // projection" smell.
     val factWidth = Map("lineitem" -> 11, "orders" -> 6, "events" -> 6,
       "documents" -> 5, "embeddings" -> 3)
+    // full-width unfiltered scans that ARE the query's contract: q255
+    // consumes every embeddings column (id for identity, label for
+    // the positive/negative split, the vector for the score) over the
+    // whole corpus by definition — nothing to prune or push
+    val fullWidthByDesign = Set("q255_triplet_margin")
     val offenders = Seq.newBuilder[String]
     Registry.all.foreach { q =>
       val df = q.run(spark, sfDir)
       physicalNodes(df).foreach {
-        case f: FileSourceScanExec =>
+        case f: FileSourceScanExec if !fullWidthByDesign(q.name) =>
           val table = f.relation.location.rootPaths.headOption
             .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
           factWidth.get(table).foreach { width =>
