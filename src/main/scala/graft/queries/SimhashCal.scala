@@ -21,9 +21,11 @@ import graft.functions.det
   * halves → two 32-bit words, the q238 derivation); bit b of the
   * document signature is 1 iff Σ_tokens (±1 by token bit b) > 0 (tie
   * → 0, deterministic); the signature packs into 4 × 16-bit band
-  * words; a candidate pair shares ≥ 1 exact band word (the q42
-  * banding — hamming ≤ 3 pairs are GUARANTEED to collide by
-  * pigeonhole); hamming distance is Σ bit_count(xor(band words)).
+  * words; a candidate pair shares ≥ 2 exact band words (see
+  * [[MinBandMatches]] — hamming ≤ 2 pairs are GUARANTEED to collide
+  * by pigeonhole, and the ≥ 2 rule is what keeps the candidate
+  * volume near-linear on a homogeneous corpus); hamming distance is
+  * Σ bit_count(xor(band words)).
   *
   * Determinism: votes are exact int64 sums (commutative — token
   * order never matters); signatures, band words, pairs, and hamming
@@ -62,10 +64,29 @@ object SimhashCal {
     s"(CASE WHEN v${band * BitsPerBand + j} > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** The C(4,2) = 6 band pairs, in (i, j) i < j order — the compound
+    * join keys that realize the ≥ 2-SHARED-BANDS candidate rule
+    * (sharing ≥ 1 of the 6 two-band keys ⟺ sharing ≥ 2 of the 4
+    * bands). One shared band is the pigeonhole floor, but on a
+    * homogeneous corpus simhash band words CONCENTRATE (the per-bit
+    * votes share the corpus-wide bias), so single-band buckets grow
+    * with n and a ≥ 1 join is quadratic IN THE JOIN ITSELF —
+    * measured: exponent 1.302 at the sf0.1→sf1 decade. Joining on
+    * two-band compounds keeps every hamming ≤ 2 pair by pigeonhole
+    * (and in practice the hamming ≤ 6 near-dup class, which rarely
+    * concentrates 3+ flips into 3 distinct bands) while random
+    * same-bias pairs almost never clear two INDEPENDENT 16-bit words
+    * — Manku et al. 2007's block-combination trick (public) joined
+    * with the q41 minBandMatches discipline.
+    */
+  private val BandPairs: Seq[(Int, Int)] =
+    for { i <- 0 until Bands; j <- i + 1 until Bands } yield (i, j)
+
   val q251 = Q.of(
     "q251_simhash_calibration", {
-      val bandSelects = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS b, w$b AS wv FROM sig")
+      val bandSelects = BandPairs.zipWithIndex
+        .map { case ((i, j), pid) =>
+          s"SELECT doc_id, $pid AS pid, w$i AS wa, w$j AS wb FROM sig" }
         .mkString("\n      |  UNION ALL ")
       val hammingSql = (0 until Bands)
         .map(b => s"bit_count(xor(sa.w$b, sb.w$b))").mkString(" + ")
@@ -89,7 +110,9 @@ object SimhashCal {
       |  $bandSelects
       |), pairs AS (
       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-      |  FROM bk x JOIN bk y ON x.b = y.b AND x.wv = y.wv AND x.doc_id < y.doc_id
+      |  FROM bk x JOIN bk y
+      |    ON x.pid = y.pid AND x.wa = y.wa AND x.wb = y.wb
+      |    AND x.doc_id < y.doc_id
       |), scored AS (
       |  SELECT da, db,
       |    CAST($hammingSql AS BIGINT) AS hamming,
@@ -147,13 +170,19 @@ object SimhashCal {
     }
     val sig = graft.CacheScope.trackedCache(
       votes.select(col("doc_id") +: packCols: _*))
+    // join on TWO-BAND compound keys (≥ 1 of the 6 pair-keys ⟺ ≥ 2 of
+    // 4 bands): the single-band buckets that concentrate on a
+    // homogeneous corpus never materialize as join output
     val bk = sig.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"w$b")): _*))
-        .as(Seq("b", "wv")))
+      posexplode(array(BandPairs.map { case (i, j) =>
+        struct(col(s"w$i").as("wa"), col(s"w$j").as("wb")) }: _*))
+        .as(Seq("pid", "wp")))
+      .select(col("doc_id"), col("pid"),
+        col("wp.wa").as("wa"), col("wp.wb").as("wb"))
     val pairs = bk.as("x")
       .join(bk.as("y"),
-        col("x.b") === col("y.b") && col("x.wv") === col("y.wv") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.pid") === col("y.pid") && col("x.wa") === col("y.wa") &&
+          col("x.wb") === col("y.wb") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     val hamming = (0 until Bands)

@@ -45,6 +45,28 @@ class CurationSpec extends SparkSpec {
       s"q84 should shuffle only for the presentation sort:\n$plan")
   }
 
+  test("q257 max-run fold finds loops the multiset rules cannot see") {
+    import spark.implicits._
+    val docs = Seq(
+      // a 6-long loop buried in diverse text
+      (1L, "src0", "alpha beta " + Seq.fill(6)("loop").mkString(" ") + " gamma delta"),
+      // 10 scattered "the"s, never adjacent: multiset-heavy, run-free
+      (2L, "src0", (1 to 10).map(i => s"the w$i").mkString(" ")),
+      // no repeats at all
+      (3L, "src1", "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val runs = graft.queries.RepetitionRuns.withMaxRun(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("max_run")).toMap
+    assert(runs(1L) == 6L, s"loop run: ${runs(1L)}")
+    assert(runs(2L) == 1L, "scattered repeats are NOT a run")
+    assert(runs(3L) == 1L)
+    val prof = graft.queries.RepetitionRuns.profile(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(prof("src0").getAs[Long]("docs_run5") == 1L)
+    assert(prof("src0").getAs[Long]("longest_run") == 6L)
+    assert(prof("src1").getAs[Long]("docs_run2") == 0L)
+  }
+
   test("q85 finds exactly the planted 8-gram overlap") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"leak$i").mkString(" ")
