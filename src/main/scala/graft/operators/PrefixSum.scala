@@ -38,30 +38,55 @@ object PrefixSum {
     * final pass must see identical partitioning).
     */
   def orderedRunningSum(df: DataFrame, orderBy: Seq[Column], value: Column,
-      outCol: String, numPartitions: Int): DataFrame = {
+      outCol: String, numPartitions: Int): DataFrame =
+    orderedRunningSums(df, orderBy, Seq(value -> outCol), numPartitions)
+
+  /** Multi-measure form of [[orderedRunningSum]]: every
+    * `(value, outCol)` pair rides the SAME range exchange, the same
+    * bounded driver collect (numPartitions × |values| longs), and the
+    * same per-partition window pass — one scan no matter how many
+    * running sums the caller needs (q171's two-sample ECDF wants cum₁
+    * AND cum₂ over one total order; paying the exchange twice would
+    * double the dominant cost).
+    */
+  def orderedRunningSums(df: DataFrame, orderBy: Seq[Column],
+      values: Seq[(Column, String)], numPartitions: Int): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
+    require(values.nonEmpty, "need at least one (value, outCol) pair")
     val spark = df.sparkSession
-    import spark.implicits._
     val ranged = graft.CacheScope.trackedCache(
       df.repartitionByRange(numPartitions, orderBy: _*)
         .withColumn("graft_pid", spark_partition_id()))
     // coalesce: a partition whose every value is NULL sums to NULL
     // (SQL semantics) — treat it as contributing nothing rather than
     // NPE-ing the driver fold
-    val partials = ranged.groupBy(col("graft_pid"))
-      .agg(coalesce(sum(value.cast("long")), lit(0L)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sumCols = values.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(v.cast("long")), lit(0L)).as(s"graft_s$i") }
+    val partials: Map[Int, Seq[Long]] = ranged.groupBy(col("graft_pid"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)))
+      .toMap
     val maxPid = if (partials.isEmpty) -1 else partials.keys.max
+    val zero: Seq[Long] = values.indices.map(_ => 0L)
     val offsets = (0 to maxPid)
-      .scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
+      .scanLeft(zero)((acc, p) =>
+        acc.zip(partials.getOrElse(p, zero)).map { case (a, b) => a + b })
       .dropRight(1)
-    val offsetDf = offsets.zipWithIndex
-      .map { case (o, p) => (p, o) }.toDF("graft_pid", "graft_offset")
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("graft_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        values.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"graft_off$i", org.apache.spark.sql.types.LongType)))
+    val offsetRows = offsets.zipWithIndex.map { case (o, p) =>
+      org.apache.spark.sql.Row.fromSeq(p +: o) }
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
     val w = Window.partitionBy(col("graft_pid")).orderBy(orderBy: _*)
-    ranged
-      .join(broadcast(offsetDf), Seq("graft_pid"))
-      .withColumn(outCol, sum(value.cast("long")).over(w) + col("graft_offset"))
-      .drop("graft_pid", "graft_offset")
+    val joined = ranged.join(broadcast(offsetDf), Seq("graft_pid"))
+    values.zipWithIndex.foldLeft(joined) { case (acc, ((v, outCol), i)) =>
+      acc.withColumn(outCol, sum(v.cast("long")).over(w) + col(s"graft_off$i"))
+    }.drop("graft_pid" +: values.indices.map(i => s"graft_off$i"): _*)
   }
 
   /** Adds `outCol` = NTILE(`buckets`) over the global `orderBy` total

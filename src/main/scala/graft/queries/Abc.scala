@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.operators.PrefixSum
 
 /** q182: ABC / PARETO INVENTORY CLASSIFICATION — parts ranked by
   * revenue, classified by where their cumulative share STARTS:
@@ -23,9 +23,15 @@ import graft.Q
   * rank is a total order both engines replay.
   *
   * Scale shape: ONE map-side-combined l_partkey aggregate collapses
-  * the fact (the only fact-sized exchange); the cumulative window
-  * runs over the PART-sized frame — q161's honest total-order cost,
-  * paid on catalog cardinality, never on line items; the class
+  * the fact (the only fact-sized exchange); the cumulative revenue
+  * rides [[graft.operators.PrefixSum.orderedRunningSum]] over the
+  * (rev DESC, partkey) total order — range-partition + bounded
+  * driver offsets + per-partition windows, NEVER a single-task
+  * global window: the part catalog SCALES with the fact (TPC-H part
+  * grows with SF), so q182 is exactly the q157/q161 frame class, not
+  * a bounded-alphabet one (the round-12 whitelist-rationale lesson).
+  * The grand total rides a one-row crossJoin(broadcast(agg)) — the
+  * q127 pattern — not an empty-partition max window. The class
   * rollup is 3 rows. Share is one IEEE division of exact integers.
   */
 object Abc {
@@ -36,11 +42,11 @@ object Abc {
     * straddle rule at an exact 70% landing, and the uniform case.
     */
   def classify(masses: DataFrame, keyCol: String, revCol: String): DataFrame = {
-    val byRank = Window.orderBy(col(revCol).desc, col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    masses
-      .withColumn("graft_cum", sum(col(revCol)).over(byRank))
-      .withColumn("graft_total", max(col("graft_cum")).over(Window.partitionBy()))
+    val cum = PrefixSum.orderedRunningSum(
+      masses, orderBy = Seq(col(revCol).desc, col(keyCol)),
+      value = col(revCol), outCol = "graft_cum", numPartitions = 8)
+    val tot = masses.agg(sum(col(revCol)).cast("long").as("graft_total"))
+    cum.crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when((col("graft_cum") - col(revCol)) * 10 < col("graft_total") * 7, "A")
           .when((col("graft_cum") - col(revCol)) * 10 < col("graft_total") * 9, "B")

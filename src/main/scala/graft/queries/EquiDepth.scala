@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.operators.PrefixSum
 
 /** q177: EQUI-DEPTH HISTOGRAM — exact K-bucket boundaries for the
   * order-value distribution: bucket i's upper fence is the SMALLEST
@@ -29,9 +29,11 @@ import graft.Q
   * a sequence-explode over that integer interval: NO spine join, no
   * broadcast-nested-loop range probe, and at most K rows survive
   * the explode across the whole frame. One map-side-combined
-  * per-value aggregate (domain-bounded), one cumulative window over
-  * the bounded cell frame (q161's honest total-order cost), one
-  * zero-join projection.
+  * per-value aggregate, one distributed two-phase prefix scan
+  * ([[graft.operators.PrefixSum.orderedRunningSum]]) over the cell
+  * frame — which TRACKS the order count until it saturates at the
+  * price-domain width, so it is NOT whitelist-bounded (the round-13
+  * re-audit) — one zero-join projection.
   */
 object EquiDepth {
 
@@ -44,13 +46,20 @@ object EquiDepth {
     * several thresholds), the uniform case, and n < k degeneracy.
     */
   def boundaries(df: DataFrame, vCol: String, k: Int): DataFrame = {
-    val byV = Window.orderBy(col("graft_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(vCol).as("graft_v"))
+    val cells = df.select(col(vCol).as("graft_v"))
       .groupBy(col("graft_v"))
       .agg(count(lit(1)).as("graft_c"))
-      .withColumn("graft_cum", sum(col("graft_c")).over(byV))
-      .withColumn("graft_n", max(col("graft_cum")).over(Window.partitionBy()))
+    // the floor-dollar alphabet tracks the order count until it
+    // saturates at the PRICE-DOMAIN width (measured 1.5k/15k/130k
+    // distinct at sf0.001/0.01/0.1, still growing at sf0.1) — so the
+    // cumsum rides the distributed two-phase prefix scan, never a
+    // single-task global window; n is a one-row broadcast (max of a
+    // monotone cumsum over the same cached frame)
+    val cum = PrefixSum.orderedRunningSum(
+      cells, orderBy = Seq(col("graft_v")),
+      value = col("graft_c"), outCol = "graft_cum", numPartitions = 8)
+    val tot = cum.agg(coalesce(max(col("graft_cum")), lit(0L)).as("graft_n"))
+    cum.crossJoin(broadcast(tot))
       // integer div, NOT `/` + cast: Spark's bigint `/` is double
       // division and a quotient 1 ulp above an integer would cross
       // the floor boundary (the q160 rule)

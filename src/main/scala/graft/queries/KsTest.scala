@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.operators.PrefixSum
 
 /** q171: TWO-SAMPLE KOLMOGOROV–SMIRNOV distance — do two customer
   * segments draw their order values from the same distribution? The
@@ -26,11 +26,15 @@ import graft.Q
   * through DECIMAL(38,0) — same shape, wider lanes).
   *
   * Scale shape: one map-side-combined per-value count aggregate
-  * (distinct metric values, not rows, cross the exchange), one
-  * range-partitioned global sort for the cumulative window — the
-  * honest total-order cost of an exact ECDF (same class as q161) —
-  * then a single-row fold. The segment filter and 2-column
-  * projection push into the scans; the dim join broadcasts.
+  * (distinct metric values, not rows, cross the exchange), then the
+  * TWO cumulative sums ride one
+  * [[graft.operators.PrefixSum.orderedRunningSums]] pass — range
+  * exchange + bounded driver offsets + per-partition windows, never
+  * a single-task global window: the cent-granular value alphabet is
+  * data-sized (≈ one cell per order until domain saturation), the
+  * exact q182 frame class. Totals are a one-row broadcast; the rest
+  * is a single-row fold. The segment filter and 2-column projection
+  * push into the scans; the dim join broadcasts.
   */
 object KsTest {
 
@@ -43,18 +47,28 @@ object KsTest {
     * samples (D = 0).
     */
   def ksDistance(df: DataFrame, isA: Column, v: Column): DataFrame = {
-    val byV = Window.orderBy(col("graft_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy()
-    df.select(isA.as("graft_a"), v.as("graft_v"))
+    val cells = df.select(isA.as("graft_a"), v.as("graft_v"))
       .groupBy(col("graft_v"))
       .agg(
         sum(when(col("graft_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("graft_a"), 1L).otherwise(0L)).as("c2"))
-      .withColumn("cum1", sum(col("c1")).over(byV))
-      .withColumn("cum2", sum(col("c2")).over(byV))
-      .withColumn("n1", sum(col("c1")).over(whole))
-      .withColumn("n2", sum(col("c2")).over(whole))
+    // BOTH ECDF cumsums ride ONE range exchange + driver-offset pass
+    // — the value alphabet of o_totalprice is cent-granular and grows
+    // ~1:1 with the order count until domain saturation (measured
+    // 1500/15k/150k distinct at sf0.001/0.01/0.1), so this frame is
+    // DATA-SIZED and a bare Window.orderBy would collapse it into one
+    // task — the q182/q157 scale-killer class, caught by the round-13
+    // whitelist re-audit
+    val cum = PrefixSum.orderedRunningSums(
+      cells, orderBy = Seq(col("graft_v")),
+      values = Seq(col("c1") -> "cum1", col("c2") -> "cum2"),
+      numPartitions = 8)
+    // totals are the cumsums' maxima over the SAME cached frame; they
+    // ride a one-row broadcast, never an empty-partition window
+    val tot = cum.agg(
+      coalesce(max(col("cum1")), lit(0L)).as("n1"),
+      coalesce(max(col("cum2")), lit(0L)).as("n2"))
+    cum.crossJoin(broadcast(tot))
       .withColumn("graft_num",
         abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
       .agg(

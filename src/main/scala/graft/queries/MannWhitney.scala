@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.operators.PrefixSum
 
 /** q172: MANN–WHITNEY U rank-sum test — does one customer segment
   * systematically place larger orders than another? The
@@ -27,8 +27,12 @@ import graft.Q
   * sides.
   *
   * Scale shape: identical to q171 — per-value count aggregate
-  * (map-side combined, distinct values cross the exchange), one
-  * range-partitioned cumulative window, single-row fold. t³ bounds
+  * (map-side combined, distinct values cross the exchange), then the
+  * tie-block-base cumsum rides
+  * [[graft.operators.PrefixSum.orderedRunningSum]] (range exchange +
+  * bounded driver offsets + per-partition windows, NEVER a
+  * single-task global window — the cent-granular value alphabet is
+  * data-sized, q182's frame class), single-row fold. t³ bounds
   * the int64 range to ~2·10⁶ rows in one tie block per 10¹⁸ —
   * beyond that, DECIMAL(38,0) lanes (same shape).
   */
@@ -42,15 +46,16 @@ object MannWhitney {
     * NULL-z guard, and the U₁ + U₂ = n₁·n₂ identity.
     */
   def uTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
-    val byV = Window.orderBy(col("graft_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(isA.as("graft_a"), v.as("graft_v"))
+    val cells = df.select(isA.as("graft_a"), v.as("graft_v"))
       .groupBy(col("graft_v"))
       .agg(
         sum(when(col("graft_a"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("graft_a"), 1L).otherwise(0L)).as("c2"))
       .withColumn("ct", col("c1") + col("c2"))
-      .withColumn("graft_cb", sum(col("ct")).over(byV) - col("ct"))
+    PrefixSum.orderedRunningSum(
+      cells, orderBy = Seq(col("graft_v")),
+      value = col("ct"), outCol = "graft_cumct", numPartitions = 8)
+      .withColumn("graft_cb", col("graft_cumct") - col("ct"))
       .agg(
         sum(col("c1")).as("n1"),
         sum(col("c2")).as("n2"),

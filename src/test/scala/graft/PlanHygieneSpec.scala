@@ -121,28 +121,34 @@ class PlanHygieneSpec extends SparkSpec {
     * globalNtile (the two-phase distributed scan) or a partitioned
     * window. The value documents WHY the frame is bounded.
     */
+  // Round-13 re-audit (the q182 lesson: a rationale naming a TABLE is
+  // not a bound — the frame must saturate when the FACT grows 100×).
+  // Every entry below names the bound AND the measured saturation
+  // evidence (distinct frame rows at sf0.01 vs sf0.1 on the driver
+  // testdata; "sat" = identical at both, i.e. the frame stopped
+  // growing a decade before the bench SF). Entries whose frames
+  // TRACKED data growth were evicted and moved onto PrefixSum:
+  // q182 (part catalog scales with SF), q171/q172 (cent-granular
+  // value alphabet ≈ one cell per order: 15k→150k), q177
+  // (floor-dollar alphabet 15k→130k, still growing at sf0.1).
   private val allowedGlobalWindow: Map[String, String] = Map(
-    "q48_seasonal_patterns" -> "global avg over (month, genre) trend cells — calendar × brand catalog",
-    "q49_binge_behavior" -> "score normalizer max over the <=|brands| output frame",
-    "q129_dsir_weights" -> "hash-bucket totals over the 256-row md5-prefix alphabet",
-    "q142_survival_km" -> "risk-set windows over distinct event DAYS — calendar-bounded",
-    "q143_benford_audit" -> "digit-cell totals over the 9-row leading-digit alphabet",
-    "q145_autocorrelation" -> "lag features over the daily series — calendar-bounded",
-    "q149_growth_mom_yoy" -> "MoM/YoY lags over the monthly series — calendar-bounded",
-    "q159_skyline_pareto" -> "Pareto scan over the part catalog — dimension-bounded",
-    "q160_apportion_budget" -> "largest-remainder seats over the |sources| alphabet",
-    "q164_top_journeys" -> "top-k rank over distinct 3-symbol journeys — <=|event_types|^3",
-    "q165_chi_square" -> "chi-square fold over nations x priorities contingency cells",
-    "q171_ks_test" -> "ECDF cumsums over the distinct-value alphabet of the measure",
-    "q172_mann_whitney" -> "midrank cumsum over the distinct-value alphabet",
-    "q177_equi_depth_hist" -> "cumulative counts over the distinct-value alphabet",
-    "q178_cross_correlation" -> "+-3-day shift lags over the daily series — calendar-bounded",
-    "q182_abc_classification" -> "cumulative revenue over the part catalog — dimension-bounded",
-    "q200_rolling_anomaly" -> "trailing 7-day window over the daily series — calendar-bounded",
-    "q209_seasonal_decompose" -> "centered moving averages over the daily series — calendar-bounded",
-    "q217_lift_gain" -> "cumulative gain over the 10 decile cells",
-    "q230_rank_fusion" -> "ranks assigned AFTER the LIMIT K=200 cut — K-row frames",
-    "q243_neyman_alloc" -> "remainder-seat ranks over the |segments| stratum frame")
+    "q48_seasonal_patterns" -> "(month, genre) trend cells — calendar(80 mo sat) × brand(25 sat)",
+    "q49_binge_behavior" -> "score normalizer max over the <=|brands| output frame (25 sat)",
+    "q129_dsir_weights" -> "hash-bucket totals over the 256-row md5-prefix alphabet (fixed)",
+    "q142_survival_km" -> "risk-set windows over distinct event DAYS — calendar (30 sat)",
+    "q143_benford_audit" -> "digit-cell totals over the 9-row leading-digit alphabet (fixed)",
+    "q145_autocorrelation" -> "lag features over the daily series — calendar (30 days sat)",
+    "q149_growth_mom_yoy" -> "MoM/YoY lags over the monthly series — calendar (80 mo sat)",
+    "q159_skyline_pareto" -> "one champion row per distinct retail PRICE — price-domain width (1000 sat; NOT the part catalog, which scales)",
+    "q160_apportion_budget" -> "largest-remainder seats over the |sources| alphabet (fixed)",
+    "q164_top_journeys" -> "top-k rank over distinct 3-symbol journeys — <=|event_types|^3 = 125 (types 5 sat)",
+    "q165_chi_square" -> "chi-square fold over nations(25 sat) x priorities(5 sat) cells",
+    "q178_cross_correlation" -> "+-3-day shift lags over the daily series — calendar (30 sat)",
+    "q200_rolling_anomaly" -> "trailing 7-day window over the daily series — calendar (30 sat)",
+    "q209_seasonal_decompose" -> "centered moving averages over the daily series — calendar (30 sat)",
+    "q217_lift_gain" -> "cumulative gain over the 10 decile cells (fixed K)",
+    "q230_rank_fusion" -> "ranks assigned AFTER the LIMIT K=200 cut — K-row frames (fixed K)",
+    "q243_neyman_alloc" -> "remainder-seat ranks over the |segments| stratum frame (5 sat)")
 
   test("no empty-partition WindowExec over a data-sized frame") {
     // A Window with no PARTITION BY collapses its whole input into ONE
