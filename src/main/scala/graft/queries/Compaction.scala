@@ -73,11 +73,11 @@ object Compaction {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { t =>
-    val dir = s"/tmp/graft_q254_${t.dir.hashCode & 0x7fffffff}"
-    // pointers and generation dirs persist across runs — start clean
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // a per-run unique store root: a fixed hash-derived path would let
+    // two concurrent runs (or a dataset-dir hash collision) delete and
+    // rewrite each other's store mid-query
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q254_")
+    val dir = s"$tmpRoot/store"
     val ev = t.events.select(col("event_id"), col("event_type"), col("value"))
     def batch(b: Long): Unit = PartitionedStore.writeBatch(
       ev.filter(pmod(col("event_id"), lit(3)) === b), dir, Seq("event_type"), b)
@@ -90,10 +90,19 @@ object Compaction {
     // must stay invisible to the committed read
     PartitionedStore.writeBatch(
       ev.filter(pmod(col("event_id"), lit(3)) === 0), dir, Seq("event_type"), 3L)
-    PartitionedStore.readCommitted(t.spark, dir)
+    val out = PartitionedStore.readCommitted(t.spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
+    // materialize the |event_type|-row result BEFORE deleting the
+    // store (the returned frame must not depend on the vanished
+    // files), then clean up — nothing leaks into /tmp across runs
+    val rows = out.collect().toSeq
+    val schema = out.schema
+    val p = new org.apache.hadoop.fs.Path(tmpRoot.toString)
+    p.getFileSystem(t.spark.sparkContext.hadoopConfiguration).delete(p, true)
+    t.spark.createDataFrame(
+      t.spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   def all: Seq[Q] = Seq(q92, q254)

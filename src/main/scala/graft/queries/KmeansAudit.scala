@@ -147,7 +147,12 @@ object KmeansAudit {
         centroids = agg.map { row =>
           val k = row.getLong(0)
           val n = row.getLong(1)
-          k -> (1 to Dims).map(i => row.getLong(1 + i) / n).toIndexedSeq
+          // floorDiv, NOT JVM truncating `/`: the oracle's `//` FLOORS,
+          // and the two only agree on non-negative sums — a dim sum
+          // driven negative (embedding coords below the +4000 offset's
+          // reach) would silently diverge the centroids cross-engine
+          k -> (1 to Dims).map(i => Math.floorDiv(row.getLong(1 + i), n))
+            .toIndexedSeq
         }.toSeq.sortBy(_._1)
       }
     }

@@ -165,11 +165,19 @@ object PartitionedStore {
 
   /** Write-temp + ONE atomic rename over a pointer file — the only
     * mutation a reader can race with, all-or-nothing on POSIX/HDFS.
+    * The temp name is unique PER WRITE: with a shared temp, two
+    * concurrent same-pointer writers interleave create/truncate and
+    * one can rename the other's half-written (or still-empty) bytes
+    * into the live pointer — with unique temps, whichever rename
+    * lands last installs a COMPLETE value (last-writer-wins, never
+    * a torn read). Orphaned temps from a crashed writer are inert
+    * dotfiles.
     */
   private def writePointerText(spark: SparkSession, path: String,
       name: String, value: String): Unit = {
     val (root, fs) = fsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$name.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$name.tmp.${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -302,29 +310,54 @@ object PartitionedStore {
     *
     * One file per (batch, partition) leaf — the repartition keys every
     * leaf's rows into a single task, the [[compact]] economics without
-    * the swap window. Returns the new generation id. Single
-    * maintenance writer assumed (same contract as compact/publish).
+    * the swap window. Returns the new generation id.
+    *
+    * CONCURRENT COMPACTORS are safe (round 13): the generation is
+    * built under a unique dot-tmp directory and then RENAME-ALLOCATED
+    * into the next free numbered slot — rename-if-absent is atomic on
+    * a real filesystem, so two racing compactors can never write the
+    * same generation directory (the old `max+1 then overwrite` scheme
+    * let the second compactor delete-and-rewrite a directory a reader
+    * had already resolved). The pointer swap stays last-writer-wins,
+    * and EITHER order is lossless: each generation is immutable with
+    * its own recorded cover, and [[readCommitted]] unions root trees
+    * above whichever cover the live pointer names — a committed batch
+    * is either inside the live generation or still in the root.
+    * An abandoned tmp dir (compactor died mid-write) is unreferenced
+    * junk space; it is never made live and [[vacuumCommitted]] leaves
+    * tmps alone (a live compactor may still be filling one).
     */
   def compactCommitted(spark: SparkSession, path: String,
       partitionCols: Seq[String]): Long = {
     val wm = batchWatermark(spark, path).getOrElse(
       throw new IllegalStateException(s"compactCommitted: no committed batches at $path"))
-    val gNew = compactionGeneration(spark, path).map(_._1).getOrElse(0L) + 1L
     val (root, fs) = fsOf(spark, path)
-    val genDir = new org.apache.hadoop.fs.Path(root, s"$CompactedDir/$gNew")
-    if (fs.exists(genDir)) fs.delete(genDir, true) // abandoned earlier run
+    val cdir = new org.apache.hadoop.fs.Path(root, CompactedDir)
+    val tmpDir = new org.apache.hadoop.fs.Path(cdir,
+      s".tmp_${java.util.UUID.randomUUID().toString}")
     val keys = "graft_batch_id" +: partitionCols
     readCommittedAt(spark, path, wm)
       .repartition(keys.map(col): _*)
       .write.partitionBy(keys: _*)
-      .mode("overwrite").parquet(genDir.toString)
+      .mode("overwrite").parquet(tmpDir.toString)
     // the generation records its own cover so vacuum can later tell
     // which root batch trees its readers can still reach
-    val out = fs.create(new org.apache.hadoop.fs.Path(genDir, "_graft_cover"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, "_graft_cover"), true)
     try out.write(wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    writePointerText(spark, path, CompactionName, s"$gNew:$wm")
-    gNew
+    // allocate the next numbered slot atomically: rename fails (false)
+    // when the target exists, so a concurrent winner just bumps us to
+    // the next number — no generation is ever overwritten
+    var g = {
+      val existing = fs.listStatus(cdir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName.toLong)
+      (existing :+ 0L).max + 1L
+    }
+    while (!fs.rename(tmpDir, new org.apache.hadoop.fs.Path(cdir, g.toString)))
+      g += 1L
+    writePointerText(spark, path, CompactionName, s"$g:$wm")
+    g
   }
 
   /** Drop compaction generations older than the live one (keeping
@@ -335,17 +368,31 @@ object PartitionedStore {
     * recorded cover, so those root trees are unreachable. The vacuum
     * half of [[compactCommitted]]'s protocol (same keep-window
     * contract as [[vacuumSnapshots]]).
+    *
+    * The PRE-first-compaction view (pointer absent — the reader scans
+    * only root batch trees) counts as GENERATION 0 in the keep
+    * window: root trees are deleted only once generation 0 falls
+    * outside it (`live - keep >= 1`), so a reader that resolved its
+    * watermark before any compaction pointer existed keeps a
+    * consistent scan through compact+vacuum landing mid-read —
+    * without this gate, keep=1 with a single live generation would
+    * still delete the trees that reader is scanning. In-flight
+    * compactor tmp dirs (`.tmp_*`) are never touched: they are
+    * unreferenced until their atomic rename, and a live compactor
+    * may still be filling one.
     */
   def vacuumCommitted(spark: SparkSession, path: String, keep: Int = 1): Unit = {
     val (root, fs) = fsOf(spark, path)
     compactionGeneration(spark, path).foreach { case (live, _) =>
       val cdir = new org.apache.hadoop.fs.Path(root, CompactedDir)
       if (!fs.exists(cdir)) return
-      val gens = fs.listStatus(cdir).toSeq.filter(_.isDirectory)
+      val gens = fs.listStatus(cdir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
         .map(_.getPath.getName.toLong).sorted
       gens.filter(_ < live - keep).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(cdir, g.toString), true)
       }
+      if (live - keep < 1) return // generation 0 (root-only view) still kept
       val oldestKept = gens.filter(_ >= live - keep).headOption.getOrElse(live)
       val coverFile = new org.apache.hadoop.fs.Path(
         cdir, s"$oldestKept/_graft_cover")

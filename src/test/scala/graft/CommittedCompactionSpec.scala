@@ -121,4 +121,79 @@ class CommittedCompactionSpec extends SparkSpec {
       assert(n == 1, s"$leaf holds $n files, want 1")
     }
   }
+
+  test("two concurrent compactors never lose a committed batch (last pointer wins, both generations intact)") {
+    val dir = freshDir("graft_cc_two")
+    (0L to 3L).foreach { b =>
+      PartitionedStore.writeBatch(
+        events.filter(pmod(col("event_id"), lit(4)) === b).repartition(3),
+        dir, Seq("event_type"), b)
+      PartitionedStore.commitBatchWatermark(spark, dir, b)
+    }
+    val expect = fingerprint(PartitionedStore.readCommitted(spark, dir))
+    // race two compactors head-to-head: the rename-allocation must
+    // give them DISTINCT generation dirs, and whichever pointer lands
+    // last must leave an exact read
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map { i =>
+      new Thread(() => {
+        try PartitionedStore.compactCommitted(spark, dir, Seq("event_type"))
+        catch { case e: Throwable => errs.add(e) }
+      }, s"graft-compactor-$i")
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"compactor crashed: ${errs.peek()}")
+    assert(fingerprint(PartitionedStore.readCommitted(spark, dir)) == expect,
+      "a committed batch was lost across the concurrent compactions")
+    // both generations allocated distinct slots and both are complete
+    // (each carries a cover file); the pointer resolves to one of them
+    val cdir = new org.apache.hadoop.fs.Path(s"$dir/.graft_compacted")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(cdir).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName.toLong).sorted
+    assert(gens == Seq(1L, 2L), s"generations collided or went missing: $gens")
+    gens.foreach { g =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(cdir, s"$g/_graft_cover")),
+        s"generation $g is incomplete")
+    }
+    val live = PartitionedStore.compactionGeneration(spark, dir)
+    assert(live.exists(p => gens.contains(p._1)), s"pointer names a ghost: $live")
+  }
+
+  test("writer committing new batches DURING compactions is never lost (swap-window fence)") {
+    val dir = freshDir("graft_cc_writer")
+    PartitionedStore.writeBatch(
+      events.filter(pmod(col("event_id"), lit(8)) === 0L),
+      dir, Seq("event_type"), 0L)
+    PartitionedStore.commitBatchWatermark(spark, dir, 0L)
+    // writer thread appends batches 1..7 while this thread compacts
+    // repeatedly: every compaction's watermark read races the writer's
+    // commits, so some compactions cover a PREFIX of the batches and
+    // the root-side union must serve the rest
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try (1L to 7L).foreach { b =>
+        PartitionedStore.writeBatch(
+          events.filter(pmod(col("event_id"), lit(8)) === b),
+          dir, Seq("event_type"), b)
+        PartitionedStore.commitBatchWatermark(spark, dir, b)
+      } catch { case e: Throwable => errs.add(e) }
+    }, "graft-writer")
+    writer.start()
+    try (1 to 4).foreach { _ =>
+      PartitionedStore.compactCommitted(spark, dir, Seq("event_type"))
+    } finally writer.join()
+    assert(errs.isEmpty, s"writer crashed: ${errs.peek()}")
+    // all 8 batches committed; the final read must see every one
+    // exactly once regardless of where the compaction covers landed
+    assert(fingerprint(PartitionedStore.readCommitted(spark, dir)) ==
+      fingerprint(events),
+      "a batch committed during the compaction window was lost or doubled")
+    // and a final compaction + vacuum converges to the same multiset
+    PartitionedStore.compactCommitted(spark, dir, Seq("event_type"))
+    PartitionedStore.vacuumCommitted(spark, dir, keep = 0)
+    assert(fingerprint(PartitionedStore.readCommitted(spark, dir)) ==
+      fingerprint(events))
+  }
 }
