@@ -23,7 +23,11 @@ import graft.Q
   * through posexplode, cross exchanges as xxhash64, duplication =
   * ≥ 2 distinct docs via one distinct+fold, positions semi-join back;
   * the rollup is |sources| × 3 cells folded from the dup positions
-  * only.
+  * only. Measured decade exponent 0.42 (SCALE_CURVE_r13): the
+  * posexplode + xxhash64 gram exchange is the linear floor and the
+  * dup-position fold is bounded by dup-gram density × the fixed
+  * |sources| × 3 cell grid — sub-linear at this decade is overhead
+  * amortization, not a hidden cliff.
   */
 object DupPosition {
 

@@ -29,7 +29,11 @@ import graft.Q
   * first, so per-key fan-out is ≤ |sources| and pair volume is
   * Σ_key C(sources_sharing, 2) ≤ C(|sources|, 2)·|shared keys| —
   * linear in corpus, never corpus². Output is the ≤ C(20,2)-row
-  * matrix.
+  * matrix. Measured decade exponent 0.52 (SCALE_CURVE_r13): the only
+  * fact-sized stage is the distinct-(gram, source) exchange — the
+  * LINEAR floor — still amortizing fixed job overhead at a 1.6 s
+  * lo-side; no stage can go super-linear because the pair work is
+  * C(|sources|, 2)-bounded.
   */
 object Leakage {
 
