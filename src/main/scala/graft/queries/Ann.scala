@@ -326,12 +326,29 @@ object Ann {
     * recall@10 vs exact q50, ScaleSpec pins the decade growth.
     * Rows-only (scores are approximations by design).
     */
+  /** Corpus-proportional coarse-survivor budget (round 13): a FIXED
+    * coarseK is the classic cap that silently dies at scale — ADC
+    * distortion is per-vector, so as n grows linearly, more
+    * distortion-inflated scores crowd the true neighbors out of any
+    * fixed-size coarse list (measured on the round-13 testdata:
+    * recall@10 0.84 at 500 vectors where 100 = 20% of the corpus vs
+    * 0.565 at 2000 where 100 = 5%). n/5 pins the budget to the 20%
+    * regime the recall floors were calibrated in. This is the honest
+    * cost of holding a recall TARGET with a FIXED 16-entry codebook:
+    * the PQ-only tier re-ranks ∝ n — the scale path that bounds
+    * candidates by construction is q89's IVFADC (cells ∝ n/25, ~5
+    * probed), which is why both exist. Sized from one metadata count,
+    * the q44 autoBitsPerTable precedent.
+    */
+  private def autoCoarseK(n: Long): Int =
+    math.max(100L, n / 5L).min(Int.MaxValue.toLong).toInt
+
   val q88 = Q.rowsOnly("q88_ann_pq") { t =>
     val e = vectors(t)
     val cb = ProductQuant.trainCodebooks(
       e.filter(pmod(col("vec_id"), lit(4)) === 0),
       "vec_id", "v", m = 8, k = 16, iters = 2)
-    pqRerankTopK(e, cb, coarseK = 100)
+    pqRerankTopK(e, cb, coarseK = autoCoarseK(t.embeddings.count()))
   }
 
   /** The IVFADC tail: probed IVF cells bound WHICH vectors are
@@ -392,7 +409,10 @@ object Ann {
     val cb = ProductQuant.trainCodebooks(
       e.filter(pmod(col("vec_id"), lit(4)) === 0),
       "vec_id", "v", m = 8, k = 16, iters = 2)
-    ivfAdcTopK(e, centroids, cb, coarseK = 100)
+    // same corpus-proportional budget as q88: the probed-cell
+    // population grows ∝ n/5, so a fixed coarse list suffers the
+    // identical distortion crowding inside the cells
+    ivfAdcTopK(e, centroids, cb, coarseK = autoCoarseK(t.embeddings.count()))
   }
 
   def all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q83, q88, q89)

@@ -157,7 +157,10 @@ object Recall {
     val kmv187 = fresh(run("q187_kmv_retention").collect()
       .map(r => r.getAs[Number](0).longValue ->
         (r.getDouble(1), r.getDouble(2))).toMap)
-    val envK = 3.0 / math.sqrt(256.0) // KmvSpec's 3/sqrt(K) envelope
+    // KmvSpec's envelope: 4/sqrt(K) because this is a MAX over ~80
+    // months (expected max ~2.7 sigma; 3 sigma flaked on the round-13
+    // data regen at 3.1 sigma)
+    val envK = 4.0 / math.sqrt(256.0)
     val errActive = kmv187.map { case (mk, (a, _)) =>
       math.abs(a - exact176(mk)._1) /
         math.max(envK * exact176(mk)._1, 3.0) * envK }.max

@@ -43,7 +43,13 @@ class KmvSpec extends SparkSpec {
       .map(r => r.getAs[Number](0).longValue ->
         ((r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))).toMap
     assert(est.keySet == exact.keySet)
-    val eps = 3.0 / math.sqrt(256.0) // ~0.1875 relative
+    // 4/sqrt(K), NOT 3: this asserts EVERY month (a max over ~80
+    // samples of a ~1/sqrt(K)-sigma estimator), and the expected max
+    // of 80 gaussians is ~2.7 sigma — a 3-sigma gate flakes on ~1 in
+    // 5 data realizations (observed 3.1 sigma on the round-13 regen);
+    // 4 sigma holds with P(trip) ~ 0.25% while still catching a
+    // broken sketch outright
+    val eps = 4.0 / math.sqrt(256.0) // ~0.25 relative
     est.foreach { case (mk, (a, r)) =>
       val (ae, re) = exact(mk)
       assert(math.abs(a - ae) <= math.max(eps * ae, 3.0), s"mk=$mk active $a vs $ae")
