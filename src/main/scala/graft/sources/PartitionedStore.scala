@@ -151,10 +151,18 @@ object PartitionedStore {
     val m = new org.apache.hadoop.fs.Path(root, name)
     if (!fs.exists(m)) None
     else {
-      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      // read to EOF, not to a pre-read length: an atomic pointer swap
+      // between getFileStatus and open could shrink the file and turn
+      // readFully(len) into a spurious EOFException
       val in = fs.open(m)
-      try in.readFully(buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
     }
   }
 
@@ -172,19 +180,44 @@ object PartitionedStore {
     * lands last installs a COMPLETE value (last-writer-wins, never
     * a torn read). Orphaned temps from a crashed writer are inert
     * dotfiles.
+    *
+    * The LOCAL scheme goes through POSIX rename(2) directly: Hadoop's
+    * local rename-OVERWRITE is EMULATED as exists-check + delete +
+    * rename, which (a) lets two concurrent overwriters race into
+    * FileAlreadyExistsException and (b) opens a window where the live
+    * pointer DOES NOT EXIST — a watermark/generation reader in that
+    * window sees an empty store. rename(2) replaces the inode
+    * atomically: the pointer is always present, readers holding the
+    * old fd keep a complete old value. Checksum siblings (from any
+    * earlier ChecksumFileSystem write of the same pointer) are
+    * dropped so readers never verify new bytes against a stale crc.
+    * HDFS-class stores keep the FileContext path — there the
+    * OVERWRITE rename is atomic server-side.
     */
   private def writePointerText(spark: SparkSession, path: String,
       name: String, value: String): Unit = {
     val (root, fs) = fsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".$name.tmp.${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, true)
-    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, name),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dst = new org.apache.hadoop.fs.Path(root, name)
+    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dstNio = Paths.get(dst.toUri.getPath)
+      val tmpNio = dstNio.resolveSibling(
+        s".$name.tmp.${java.util.UUID.randomUUID().toString}")
+      Files.write(tmpNio, bytes)
+      Files.deleteIfExists(dstNio.resolveSibling(s".$name.crc"))
+      Files.move(tmpNio, dstNio, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".$name.tmp.${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   private def writePointer(spark: SparkSession, path: String,
