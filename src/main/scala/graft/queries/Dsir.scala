@@ -110,5 +110,85 @@ object Dsir {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(q129)
+  /** q267: the SELECTION half of DSIR — q129 scores every doc, but the
+    * paper's final step (Xie et al. 2023 §3, public) is GUMBEL-TOP-K
+    * importance RESAMPLING: sampling k docs without replacement with
+    * probability ∝ exp(w/τ) is EXACTLY taking the top k by
+    * w + τ·Gumbel(doc) (the Gumbel-max trick, public folklore), which
+    * distributes as a single top-k — no sequential draws, no global
+    * state, cluster-size independent.
+    *
+    * Replayable randomness (the md5 doctrine): u = (first 32 md5 bits
+    * of 'g:'‖doc_id + 0.5)/2³², gumbel = −ln(−ln(u)) quantized
+    * D18_6 (arbitrary-argument libm ln differs cross-engine at the
+    * last ulp; the 6-decimal round erases it — the q129 term rule).
+    * score = D18_6(w) + 2·gumbel is EXACT decimal arithmetic (τ = 2;
+    * the double w casts back to its defining 6-decimal value), so
+    * the top-k boundary is an exact decimal compare with doc_id
+    * tiebreak — selection hash-stable by construction.
+    *
+    * Scale shape: q129's weight plan (nothing fact-sized beyond
+    * (doc, bucket, count)) + one projection + a DISTRIBUTED top-k
+    * (Spark plans orderBy+limit as TakeOrderedAndProject — per-
+    * partition heaps, never a global sort of the corpus). Output
+    * exactly k rows.
+    */
+  private val SampleK = 200
+
+  /** Gumbel-top-k selection over the importance weights. Factored
+    * with `k` exposed so the spec can plant a small corpus and pin
+    * target-vocabulary docs winning the sample.
+    */
+  def gumbelTopK(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    importanceWeights(docs, isTarget)
+      .withColumn("graft_g", expr(
+        "cast(-log(-log((cast(conv(substring(md5(concat('g:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 0.5) / 4294967296.0)) as decimal(18,6))"))
+      .withColumn("graft_score",
+        col("w").cast(D18_6) + col("graft_g") * 2)
+      .orderBy(col("graft_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("w"),
+        col("graft_score").cast("double").as("score"))
+
+  val q267 = Q.of(
+    "q267_dsir_sample",
+    s"""WITH tb AS (
+      |  SELECT doc_id, source,
+      |    source IN ('${TargetSources.mkString("','")}') AS t,
+      |    substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      |  FROM documents
+      |), pdb AS (
+      |  SELECT doc_id, source, b, COUNT(*) AS n_db FROM tb GROUP BY 1, 2, 3
+      |), bk AS (
+      |  SELECT b, COUNT(*) AS cr,
+      |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM tb GROUP BY b
+      |), bk2 AS (
+      |  SELECT b, cr, ct,
+      |    CAST(SUM(cr) OVER () AS BIGINT) AS r_tot,
+      |    CAST(SUM(ct) OVER () AS BIGINT) AS t_tot
+      |  FROM bk
+      |), wts AS (
+      |  SELECT doc_id, source,
+      |    CAST(SUM(n_db) AS BIGINT) AS n_tok,
+      |    CAST(SUM(
+      |      CAST(ln(CAST((ct + 1) * (r_tot + 256) AS DOUBLE))
+      |           - ln(CAST((cr + 1) * (t_tot + 256) AS DOUBLE))
+      |        AS DECIMAL(18,6)) * n_db) AS DOUBLE) AS w
+      |  FROM pdb JOIN bk2 USING (b)
+      |  GROUP BY doc_id, source
+      |), scored AS (
+      |  SELECT doc_id, source, n_tok, w,
+      |    CAST(w AS DECIMAL(18,6)) +
+      |    CAST(-ln(-ln((CAST(('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) AS DECIMAL(18,6)) * 2 AS sc
+      |  FROM wts
+      |)
+      |SELECT doc_id, source, n_tok, w, CAST(sc AS DOUBLE) AS score
+      |FROM scored
+      |ORDER BY sc DESC, doc_id LIMIT $SampleK""".stripMargin) { t =>
+    gumbelTopK(t.documents, col("source").isin(TargetSources: _*), SampleK)
+  }
+
+  def all: Seq[Q] = Seq(q129, q267)
 }

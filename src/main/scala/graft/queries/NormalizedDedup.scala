@@ -32,11 +32,11 @@ import graft.Q
   */
 object NormalizedDedup {
 
-  private val CanonSql =
+  private[queries] val CanonSql =
     "md5(trim(regexp_replace(regexp_replace(lower(text)," +
       " '[^a-z0-9 ]', ''), ' +', ' ')))"
 
-  private val CanonDuck =
+  private[queries] val CanonDuck =
     "md5(trim(regexp_replace(regexp_replace(lower(text)," +
       " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
 

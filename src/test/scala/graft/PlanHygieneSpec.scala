@@ -135,6 +135,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q48_seasonal_patterns" -> "(month, genre) trend cells — calendar(80 mo sat) × brand(25 sat)",
     "q49_binge_behavior" -> "score normalizer max over the <=|brands| output frame (25 sat)",
     "q129_dsir_weights" -> "hash-bucket totals over the 256-row md5-prefix alphabet (fixed)",
+    "q267_dsir_sample" -> "q129's bucket-model windows inherited — same 256-row md5-prefix alphabet (fixed); the top-k itself is TakeOrderedAndProject, not a window",
     "q142_survival_km" -> "risk-set windows over distinct event DAYS — calendar (30 sat)",
     "q143_benford_audit" -> "digit-cell totals over the 9-row leading-digit alphabet (fixed)",
     "q145_autocorrelation" -> "lag features over the daily series — calendar (30 days sat)",
