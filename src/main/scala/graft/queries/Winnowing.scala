@@ -198,6 +198,62 @@ object Winnowing {
     containment(t.documents)
   }
 
+  val q269 = Q.of(
+    "q269_syndication_families",
+    s"""WITH RECURSIVE ${fpsSql.stripPrefix("WITH ")},
+      |keep AS (
+      |  SELECT h FROM fps GROUP BY h
+      |  HAVING COUNT(*) BETWEEN 2 AND $DfCap
+      |), shared AS (
+      |  SELECT fps.doc_id, fps.h FROM fps JOIN keep ON keep.h = fps.h
+      |), pairs AS (
+      |  SELECT x.doc_id AS da, y.doc_id AS db
+      |  FROM shared x JOIN shared y ON x.h = y.h AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id HAVING COUNT(*) >= $MinShared
+      |), edges AS (
+      |  SELECT da AS src, db AS dst FROM pairs
+      |  UNION SELECT db, da FROM pairs
+      |), walk(id, reach) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+      |), comp AS (
+      |  SELECT id, MIN(reach) AS mn FROM walk GROUP BY id
+      |), lab AS (
+      |  SELECT id, CASE WHEN id < mn THEN id ELSE mn END AS family FROM comp
+      |)
+      |SELECT family, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS char_mass
+      |FROM lab JOIN documents d ON d.doc_id = lab.id
+      |GROUP BY family
+      |ORDER BY family""".stripMargin) { t =>
+    families(t.documents)
+  }
+
+  /** q269 plan: connected components over the q263 pair graph — the
+    * SYNDICATION FAMILY readout (which mirror/boilerplate families
+    * exist, how many sources they span, what mass they hold). Same
+    * `Components` min-label machinery as q45/q259; edges are the
+    * df-capped winnowing pairs, so the graph is near-dup-volume
+    * sized, never corpus-sized.
+    */
+  def families(docs: DataFrame): DataFrame = {
+    val pairs = candidatePairs(fingerprints(docs), MinShared)
+      .select(col("da"), col("db"))
+    val labels = graft.operators.Components.label(pairs, "da", "db")
+    labels
+      .join(docs.select(col("doc_id").as("id"), col("source"), col("n_chars")),
+        Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).cast("long").as("char_mass"))
+      .select(col("label").as("family"), col("n_docs"), col("n_sources"),
+        col("char_mass"))
+      .orderBy(col("family"))
+  }
+
   /** Distinct (doc_id, h) winnowing fingerprints. Factored so both
     * queries and the spec share the selection rule.
     */
@@ -303,5 +359,5 @@ object Winnowing {
       .orderBy(col("inner_doc"), col("outer_doc"))
   }
 
-  def all: Seq[Q] = Seq(q263, q264)
+  def all: Seq[Q] = Seq(q263, q264, q269)
 }

@@ -105,6 +105,32 @@ class PartialDupSpec extends SparkSpec {
     assert(Winnowing.containment(docs(Seq(1L -> a, 2L -> b))).collect().isEmpty)
   }
 
+  private def fullDocs(rows: Seq[(Long, String, String)]) =
+    spark.createDataFrame(
+      rows.map { case (id, text, src) =>
+        Row(id, text, "en", src, text.length.toLong)
+      }.asJava,
+      StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+
+  test("q269 chains transitive passage overlaps into one family") {
+    val p1 = (1 to 30).map(i => s"p$i").mkString(" ")
+    val p2 = (1 to 30).map(i => s"q$i").mkString(" ")
+    val a = s"one two three four five six seven eight $p1"
+    val b = s"$p1 middle bridging tokens follow here now next $p2"
+    val c = s"$p2 nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val d = (1 to 30).map(i => s"z$i").mkString(" ") // isolated
+    val out = Winnowing.families(fullDocs(Seq(
+      (1L, a, "s1"), (2L, b, "s2"), (3L, c, "s2"), (4L, d, "s3"))))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L) // min-id family label
+    assert(r.getLong(1) === 3L) // a, b, c — d stays out
+    assert(r.getLong(2) === 2L) // sources s1, s2
+    assert(r.getLong(3) === (a.length + b.length + c.length).toLong)
+  }
+
   test("q265 canonicalization collapses case/punct and sees cross-source") {
     val out = NormalizedDedup.report(srcDocs(Seq(
       (1L, "Hello, World!", "en", "s1"),

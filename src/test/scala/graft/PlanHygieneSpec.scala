@@ -149,7 +149,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q209_seasonal_decompose" -> "centered moving averages over the daily series — calendar (30 sat)",
     "q217_lift_gain" -> "cumulative gain over the 10 decile cells (fixed K)",
     "q230_rank_fusion" -> "ranks assigned AFTER the LIMIT K=200 cut — K-row frames (fixed K)",
-    "q243_neyman_alloc" -> "remainder-seat ranks over the |segments| stratum frame (5 sat)")
+    "q243_neyman_alloc" -> "remainder-seat ranks over the |segments| stratum frame (5 sat)",
+    "q270_water_fill" -> "water-level scan over the |sources| supply frame — source alphabet (20 sat, the q223 bound)")
 
   test("no empty-partition WindowExec over a data-sized frame") {
     // A Window with no PARTITION BY collapses its whole input into ONE
