@@ -66,7 +66,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q50_ann_bruteforce", "q53_ann_quantized", "q54_ann_rerank",
     "q88_ann_pq", "q153_theil_sen", "q165_chi_square",
     "q167_negative_sampling", "q241_silhouette", "q246_jsd_matrix",
-    "q255_triplet_margin")
+    "q255_triplet_margin",
+    // q275: both sides are the PINNED vec_id < 64 sample — SF-invariant
+    // 64-row frames, C(64,2) pairs at any scale
+    "q275_jl_distortion")
 
   private def subtree(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
