@@ -76,15 +76,9 @@ object Assortativity {
       |    AS assortativity
       |FROM knn CROSS JOIN mo
       |ORDER BY deg""".stripMargin) { t =>
-    val b = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = b.as("x").join(b.as("y"), col("x.ok") === col("y.ok"))
-      .filter(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= MinSupport)
-      .select(col("pa"), col("pb"))
-    curve(e)
+    curve(graft.operators.CoOccur.prunedEdges(
+      t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", MinSupport))
   }
 
   /** knn(k) curve + global r over an undirected edge frame (pa, pb).
@@ -96,10 +90,16 @@ object Assortativity {
     val dir = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val ed = dir
+    // ed is consumed by BOTH the 1-row moment fold and the knn rollup;
+    // uncached, each consumer re-runs the whole edge build (the basket
+    // pair aggregate) because the two aggregates shuffle on different
+    // keys and share no exchange — cache the slim (dx, dy) frame once
+    // (guide §2.4: two ops keyed differently can't share an exchange,
+    // so share the materialized input instead)
+    val ed = graft.CacheScope.trackedCache(dir
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
-      .select(col("dx"), col("dy"))
+      .select(col("dx"), col("dy")))
     val mo = ed.agg(
       count(lit(1)).as("m"),
       sum(col("dx")).cast("long").as("sx"),

@@ -59,21 +59,33 @@ object BloomCal {
     * n_fp) on a hand-built corpus.
     */
   def bloomCal(docs: DataFrame, mod: Int): DataFrame = {
+    // a = md5[0:8) and stride s = md5[8:16)|1 are MATERIALIZED into the
+    // cached shingle frame: as inline expressions, every one of the 5
+    // probe positions (and each of their uses in the bit test) embeds
+    // its own copy of md5(sh) — Catalyst's filter pushdown re-inlines
+    // alias-substituted predicates, so only a cache boundary guarantees
+    // the hash runs once per row (~20 md5 evaluations/row → 1; guide
+    // §1.2 "per-task work", measured in plans/r13/q258_bloom_cal_*).
     val shingled = graft.CacheScope.trackedCache(
       docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= KGram)
         .select(col("doc_id"), explode(expr(
           s"array_distinct(transform(sequence(0, size(w) - $KGram)," +
-            s" i -> concat_ws(' ', slice(w, i + 1, $KGram))))")).as("sh")))
+            s" i -> concat_ws(' ', slice(w, i + 1, $KGram))))")).as("sh"))
+        .withColumn("graft_h", md5(col("sh")))
+        .select(col("doc_id"), col("sh"),
+          expr("cast(conv(substring(graft_h, 1, 8), 16, 10) as bigint)")
+            .as("graft_a"),
+          expr("cast(conv(substring(graft_h, 9, 8), 16, 10) as bigint)")
+            .bitwiseOR(lit(1L)).as("graft_s")))
     val bench = graft.CacheScope.trackedCache(
-      shingled.filter(col("doc_id") % mod === 0).select(col("sh")).distinct())
+      shingled.filter(col("doc_id") % mod === 0)
+        .select(col("sh"), col("graft_a"), col("graft_s")).distinct())
     val nb = math.max(1L, bench.count())
     val m = (nb * 8L + 63L) / 64L * 64L
-    val aCol = expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)")
-    val sCol = expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) as bigint)")
-      .bitwiseOR(lit(1L))
-    val posCols = (0 until Probes).map(i => (aCol + lit(i.toLong) * sCol) % lit(m))
+    val posCols = (0 until Probes).map(i =>
+      (col("graft_a") + lit(i.toLong) * col("graft_s")) % lit(m))
     // distinct set-bit positions computed distributed; only positions
     // come back — driver state bounded by the benchmark suite size
     val setPos = bench.select(explode(array(posCols: _*)).as("p"))
@@ -90,7 +102,8 @@ object BloomCal {
     shingled
       .filter(col("doc_id") % mod =!= 0)
       .filter(hit)
-      .join(broadcast(bench.withColumn("graft_is_m", lit(1))), Seq("sh"), "left")
+      .join(broadcast(bench.select(col("sh")).withColumn("graft_is_m", lit(1))),
+        Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_flagged"),

@@ -64,10 +64,20 @@ object Bootstrap {
   def bootstrapCi(df: DataFrame, key: Column, id: Column, x: Column,
       b: Int = B): DataFrame = {
     val base = df.select(key.as("key"), id.as("graft_id"), x.as("graft_x"))
+    // the id→string cast runs ONCE per fact row (below the explode —
+    // the Generate node keeps the projection from collapsing upward),
+    // not once per (row × replicate); the replicate tag is a 64-entry
+    // STRING literal array, so no per-row sequence materialization and
+    // no per-exploded-row int→string cast feeds the md5 (guide §1.2
+    // "per-task work" — md5 input bytes are unchanged, so the draws,
+    // and the oracle, are identical)
     val reps = base
-      .select(col("key"), col("graft_id"), col("graft_x"),
-        explode(sequence(lit(1), lit(b))).as("graft_r"))
-      .withColumn("graft_u", drawOf(col("graft_id"), col("graft_r")))
+      .select(col("key"), col("graft_id").cast("string").as("graft_ids"),
+        col("graft_x"))
+      .select(col("key"), col("graft_ids"), col("graft_x"),
+        explode(typedlit((1 to b).map(_.toString))).as("graft_r"))
+      .withColumn("graft_u",
+        md5(concat(col("graft_ids"), lit(":"), col("graft_r"))))
       .withColumn("graft_w", poissonWeight(col("graft_u")))
       .groupBy(col("key"), col("graft_r"))
       .agg(

@@ -43,13 +43,21 @@ object Conformal {
     */
   def conformal(df: DataFrame, seg: Column, id: Column, x: Column,
       y: Column): DataFrame = {
-    val base = df.select(seg.as("seg"), id.as("graft_id"),
-      x.as("graft_x"), y.as("graft_y"))
-      .withColumn("graft_u", md5(col("graft_id").cast("string")))
-      .withColumn("graft_split",
-        when(col("graft_u") < "55", "train")
-          .when(col("graft_u") < "aa", "cal")
-          .otherwise("test"))
+    // the split-tagged base is scanned THREE times (train fit, cal
+    // residuals, test coverage) and the md5 split tag is the scan's
+    // priciest projection — materialize the slim 4-column frame once
+    // instead of hashing the fact three times (guide §2.4 / §5:
+    // cache when reuse beats recompute; u and id are dropped here,
+    // only the tag survives)
+    val base = graft.CacheScope.trackedCache(
+      df.select(seg.as("seg"), id.as("graft_id"),
+        x.as("graft_x"), y.as("graft_y"))
+        .withColumn("graft_u", md5(col("graft_id").cast("string")))
+        .withColumn("graft_split",
+          when(col("graft_u") < "55", "train")
+            .when(col("graft_u") < "aa", "cal")
+            .otherwise("test"))
+        .select(col("seg"), col("graft_x"), col("graft_y"), col("graft_split")))
 
     val fit = base.filter(col("graft_split") === "train")
       .groupBy(col("seg"))

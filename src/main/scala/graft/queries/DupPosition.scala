@@ -73,14 +73,18 @@ object DupPosition {
   def profile(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
       split(col("text"), " ").as("w"))
-    val grams = base
+    // grams feeds BOTH the dup-frequency aggregate and the position
+    // semi-join; uncached, each consumer re-runs the posexplode +
+    // per-gram xxhash64 corpus pass (two fact passes, different shuffle
+    // keys so no exchange is shared) — materialize once (guide §2.4)
+    val grams = graft.CacheScope.trackedCache(base
       .filter(size(col("w")) >= K)
       .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("l"),
         posexplode(expr(
           s"transform(sequence(0, size(w) - $K)," +
             s" i -> xxhash64(concat_ws(' ', slice(w, i + 1, $K))))")))
       .select(col("doc_id"), col("source"), col("l"),
-        col("pos").cast("long").as("pos"), col("col").as("h"))
+        col("pos").cast("long").as("pos"), col("col").as("h")))
     val dups = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("graft_nd"))
       .filter(col("graft_nd") >= 2)

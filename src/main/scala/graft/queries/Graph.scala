@@ -60,7 +60,13 @@ object Graph {
       |SELECT i3.id AS part_id, CAST(i3.rank AS BIGINT) AS rank, deg.outdeg
       |FROM i3 JOIN deg ON deg.src = i3.id
       |ORDER BY part_id""".stripMargin) { t =>
-    val edges = coPurchaseEdges(t.lineitem)
+    // the edge frame feeds FOUR fan-outs (q118's own degree frame, the
+    // final join spine, and PageRank's internal degree + withDeg
+    // build); uncached, each consumer re-runs the basket pair
+    // aggregate's post-shuffle leg — materialize the slim (src, dst)
+    // frame once (guide §2.4; the per-iteration frames inside
+    // PageRank.ranks have their own cache)
+    val edges = graft.CacheScope.trackedCache(coPurchaseEdges(t.lineitem))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     PageRank.ranks(edges, Iters)
       .join(deg, col("id") === col("src"))
@@ -69,13 +75,10 @@ object Graph {
   }
 
   /** Distinct directed co-purchase edges: parts sharing an order. */
-  private[graft] def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val pl = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    pl.join(pl.select(col("ok"), col("pk").as("pk2")), "ok")
-      .filter(col("pk") =!= col("pk2"))
-      .select(col("pk").as("src"), col("pk2").as("dst"))
-      .distinct()
-  }
+  private[graft] def coPurchaseEdges(lineitem: DataFrame): DataFrame =
+    graft.operators.CoOccur.directedEdges(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
 
   def all: Seq[Q] = Seq(q118)
 }

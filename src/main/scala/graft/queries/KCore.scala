@@ -170,15 +170,8 @@ object KCore {
   /** Support-pruned co-purchase edges (pa < pb) — the q128/q170
     * graph. */
   def coEdges(baskets: DataFrame, container: String, item: String,
-      minSupport: Int): DataFrame = {
-    val b = baskets.select(col(container).as("ok"), col(item).as("pk")).distinct()
-    b.as("x").join(b.as("y"), col("x.ok") === col("y.ok"))
-      .filter(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minSupport)
-      .select(col("pa"), col("pb"))
-  }
+      minSupport: Int): DataFrame =
+    graft.operators.CoOccur.prunedEdges(baskets, container, item, minSupport)
 
   val q179 = Q.of(
     "q179_kcore_peel",

@@ -116,8 +116,19 @@ object KmeansAudit {
       val d = element_at(col("qv"), i) - lit(cv(i - 1)); d * d
     }.reduce(_ + _)
 
+    // Each round is ONE fused aggregate pass over the cached quantized
+    // frame collecting K rows of (n, inertia, 64 dim sums) — the
+    // original spelling cached a FAT per-round (vec_id, qv, k, dist)
+    // frame and ran TWO aggregate passes over it (the report rollup
+    // and the centroid-update collect), so every round paid a 64-long
+    // array cache write plus an extra scan; fusing them halves the
+    // per-round work and drops the cache entirely (guide §1.2 step 1:
+    // don't compute things twice). Driver state stays K·(dims+2)
+    // int64s — the same ProductQuant budget class as the centroids
+    // themselves; the K-row report frames become local relations (the
+    // heavy work all happens in the distributed aggregate).
     var centroids = init
-    var reports = Seq.empty[DataFrame]
+    var reportRows = Seq.empty[(Long, Long, Long, Long)]
     (1 to Rounds).foreach { r =>
       val ks = centroids.map(_._1)
       val distCols = centroids.map { case (k, cv) => distTo(cv).as(s"d$k") }
@@ -128,22 +139,19 @@ object KmeansAudit {
           lit(ks.sorted.head))) { (acc, k) =>
         acc.when(col(s"d$k") === col("graft_min"), lit(k))
       }
-      val assigned = graft.CacheScope.trackedCache(
-        qv.select(col("vec_id") +: col("qv") +: distCols: _*)
-          .withColumn("graft_min", minDist)
-          .select(col("vec_id"), col("qv"), bestK.as("k"),
-            col("graft_min").as("dist")))
-      reports = reports :+ assigned.groupBy(col("k"))
-        .agg(count(lit(1)).as("n_points"),
-          sum(col("dist")).cast("long").as("inertia"))
-        .select(lit(r.toLong).as("round"), col("k").as("cluster"),
-          col("n_points"), col("inertia"))
+      val dimSums = (1 to Dims).map(i =>
+        sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
+      val agg = qv.select(col("qv") +: distCols: _*)
+        .withColumn("graft_min", minDist)
+        .select(col("qv"), bestK.as("k"), col("graft_min").as("dist"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (sum(col("dist")).cast("long").as("inertia") +: dimSums): _*)
+        .collect()
+      reportRows = reportRows ++ agg.map { row =>
+        (r.toLong, row.getLong(0), row.getLong(1), row.getLong(2))
+      }.sortBy(t => (t._1, t._2))
       if (r < Rounds) {
-        val dimSums = (1 to Dims).map(i =>
-          sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
-        val agg = assigned.groupBy(col("k"))
-          .agg(count(lit(1)).cast("long").as("n"), dimSums: _*)
-          .collect()
         centroids = agg.map { row =>
           val k = row.getLong(0)
           val n = row.getLong(1)
@@ -151,12 +159,13 @@ object KmeansAudit {
           // and the two only agree on non-negative sums — a dim sum
           // driven negative (embedding coords below the +4000 offset's
           // reach) would silently diverge the centroids cross-engine
-          k -> (1 to Dims).map(i => Math.floorDiv(row.getLong(1 + i), n))
+          k -> (1 to Dims).map(i => Math.floorDiv(row.getLong(2 + i), n))
             .toIndexedSeq
         }.toSeq.sortBy(_._1)
       }
     }
-    reports.reduce(_ unionAll _)
+    import qv.sparkSession.implicits._
+    reportRows.toDF("round", "cluster", "n_points", "inertia")
       .withColumn("mean_dist",
         col("inertia").cast("double") / col("n_points").cast("double"))
       .orderBy(col("round"), col("cluster"))

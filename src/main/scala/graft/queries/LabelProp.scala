@@ -144,15 +144,9 @@ object LabelProp {
       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS members
       |FROM l3 GROUP BY 1
       |ORDER BY community""".stripMargin) { t =>
-    val b = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = b.as("x").join(b.as("y"), col("x.ok") === col("y.ok"))
-      .filter(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= MinSupport)
-      .select(col("pa"), col("pb"))
+    val edges = graft.operators.CoOccur.prunedEdges(
+      t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", MinSupport)
     propagate(edges, Rounds)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("members"))

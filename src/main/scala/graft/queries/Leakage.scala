@@ -103,11 +103,17 @@ object Leakage {
       |  COALESCE(c.n_shared_contents, 0) AS n_shared_contents
       |FROM grams g FULL JOIN contents c USING (source_a, source_b)
       |ORDER BY source_a, source_b""".stripMargin) { t =>
+    // the gram key rides the distinct exchange AND both sides of the
+    // pair self-join as xxhash64 (8 bytes) instead of the ~50-byte
+    // 8-gram string — guide §2.3 "shuffle keys and metadata instead of
+    // payloads"; the q85/q91 shingle precedent (Spark joins hashed
+    // shingles, the oracle joins raw grams, equality verified
+    // hash-exact at every SF)
     val gs = t.documents
       .select(split(col("text"), " ").as("w"), col("source"))
       .filter(size(col("w")) >= 8)
       .select(explode(expr(
-        "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))"))
+        "transform(sequence(0, size(w) - 8), i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8))))"))
         .as("g"), col("source"))
       .distinct()
     val grams = gs.as("a").join(gs.as("b"),

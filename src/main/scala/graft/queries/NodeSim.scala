@@ -40,13 +40,7 @@ object NodeSim {
     */
   def neighborJaccard(baskets: DataFrame, container: String, item: String,
       minSupport: Int): DataFrame = {
-    val b = baskets.select(col(container).as("ok"), col(item).as("pk")).distinct()
-    val edges = b.as("x").join(b.as("y"), col("x.ok") === col("y.ok"))
-      .filter(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minSupport)
-      .select(col("pa"), col("pb"))
+    val edges = graft.operators.CoOccur.prunedEdges(baskets, container, item, minSupport)
     // symmetric adjacency of the pruned graph
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionAll(edges.select(col("pb").as("node"), col("pa").as("nbr")))

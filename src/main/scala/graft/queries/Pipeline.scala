@@ -100,10 +100,15 @@ object Pipeline {
       .filter(col("raw") > 0)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars")))
 
-    // boilerplate verdicts computed WITHIN the classifier survivors
-    val boilerIds = Boilerplate.profile(keep1.select(col("doc_id"), col("text")), k = 5)
-      .filter(col("verdict") === "boilerplate")
-      .select(col("doc_id"))
+    // boilerplate verdicts computed WITHIN the classifier survivors.
+    // keep2 has TWO consumers (the funnel count and the dedup stage),
+    // and each re-runs the anti-join INPUT subtree — cache the tiny
+    // verdict id frame so the 5-gram shingle + df window leg of
+    // Boilerplate.profile runs once, not twice (guide §2.4)
+    val boilerIds = graft.CacheScope.trackedCache(
+      Boilerplate.profile(keep1.select(col("doc_id"), col("text")), k = 5)
+        .filter(col("verdict") === "boilerplate")
+        .select(col("doc_id")))
     val keep2 = keep1.join(boilerIds, Seq("doc_id"), "left_anti")
 
     // survivors feed the funnel count AND the sampling/packing tail

@@ -49,14 +49,8 @@ object Triangles {
     */
   def perNode(baskets: DataFrame, container: String, item: String,
       minSupport: Int): DataFrame = {
-    val b = baskets.select(col(container).as("ok"), col(item).as("pk")).distinct()
     val edges = graft.CacheScope.trackedCache(
-      b.as("x").join(b.as("y"), col("x.ok") === col("y.ok"))
-        .filter(col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= minSupport)
-        .select(col("pa"), col("pb")))
+      graft.operators.CoOccur.prunedEdges(baskets, container, item, minSupport))
     val deg = edges.select(col("pa").as("node"))
       .unionAll(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -289,7 +289,15 @@ object Winnowing {
       val right = if (b == 0) lit(true) else col("g") < col(s"graft_nm$b")
       valid && left && right
     }.reduce(_ || _)
-    withMins.filter(selected).select(col("doc_id"), col("h")).distinct()
+    // every consumer fans out over this frame (per-doc counts, the
+    // df-cap aggregate, BOTH sides of the pair self-join) and the
+    // subtree above it — an md5 per gram plus an 8-wide lag/lead
+    // window — is the corpus-pass cost; uncached, consumers keyed on
+    // different columns (doc_id vs h) share no exchange and re-run
+    // the whole leg (guide §2.4). Slim (doc_id, h) rows, ~1/W of gram
+    // volume.
+    graft.CacheScope.trackedCache(
+      withMins.filter(selected).select(col("doc_id"), col("h")).distinct())
   }
 
   /** Df-capped fingerprint postings and the grouped candidate pairs
@@ -325,14 +333,26 @@ object Winnowing {
     * Exact gram sets ship for candidate docs only.
     */
   def containment(docs: DataFrame): DataFrame = {
-    val cand = candidatePairs(fingerprints(docs), CandShared)
-      .select(col("da"), col("db"))
-    val gsets = docs
+    val cand = graft.CacheScope.trackedCache(
+      candidatePairs(fingerprints(docs), CandShared)
+        .select(col("da"), col("db")))
+    // "exact gram sets ship for candidate docs only" now holds for the
+    // COMPUTE too, not just the join: the semi-join prunes the corpus
+    // to candidate docs BEFORE the per-gram md5 projection runs
+    // (Catalyst leaves a projection where it is written, so the
+    // original spelling hashed every doc's grams and then discarded
+    // the non-candidates at the join), and the pruned frame is cached
+    // because both the da and db joins consume it (guide §2.3
+    // "project early" / §2.4).
+    val candIds = cand.select(col("da").as("doc_id"))
+      .unionAll(cand.select(col("db").as("doc_id"))).distinct()
+    val gsets = graft.CacheScope.trackedCache(docs
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= K + W - 1 && size(col("w")) < PosCap)
       .select(col("doc_id"), expr(
         s"array_distinct(transform(sequence(0, size(w) - $K)," +
-          s" i -> md5(concat_ws(' ', slice(w, i + 1, $K)))))").as("gs"))
+          s" i -> md5(concat_ws(' ', slice(w, i + 1, $K)))))").as("gs")))
     val scored = cand
       .join(gsets.select(col("doc_id").as("da"), col("gs").as("gsa")), Seq("da"))
       .join(gsets.select(col("doc_id").as("db"), col("gs").as("gsb")), Seq("db"))
