@@ -37,6 +37,21 @@ object GraftSession {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Scan parallelism floor (guide §6). Split size is
+      // min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)):
+      // the 4 MB openCostInBytes default models object-store seek cost
+      // and FLOORS the split size, so a small single-file table (one
+      // ~10 MB parquet per table on the test SFs) scans as 1-3 tasks
+      // and every scan-side projection — md5 fingerprint legs,
+      // explodes, distance chains — runs on 1-3 of the session's
+      // cores until the first exchange. 128 KB is the honest open
+      // cost on local NVMe; at production scale totalBytes/parallelism
+      // exceeds maxPartitionBytes and splits stay 128 MB+, so this
+      // only raises parallelism where inputs are SMALL — exactly where
+      // the floor was the bottleneck. minPartitionNum inherits
+      // defaultParallelism (= cores here), which is the scale-adaptive
+      // half of the formula.
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read as long + convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

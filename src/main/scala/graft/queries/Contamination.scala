@@ -96,9 +96,19 @@ object Contamination {
     * m is even (word-aligned) and the stride odd, so the stride can't
     * collapse to 0 mod m.
     */
-  private def positions(h: org.apache.spark.sql.Column, m: Long, k: Int) = {
+  private def positions(h: org.apache.spark.sql.Column, m: Long, k: Int) =
+    positionsFrom(h, h2(h), m, k)
+
+  /** Same ladder over a PRE-COMPUTED raw stride (h2(h) materialized
+    * into a cached frame — q91's probe path evaluates the k probes as
+    * inline expressions, so an inline h2 would be re-hashed once per
+    * probe; the stride is m-independent, so it can live in the cache
+    * even though m is only known after the bench count).
+    */
+  private def positionsFrom(h: org.apache.spark.sql.Column,
+      rawStride: org.apache.spark.sql.Column, m: Long, k: Int) = {
     val base = pmod(h, lit(m))
-    val stride = pmod(h2(h), lit(m))
+    val stride = pmod(rawStride, lit(m))
     (0 until k).map(i => pmod(base + lit(i.toLong) * stride, lit(m)))
   }
 
@@ -123,9 +133,14 @@ object Contamination {
     * no shuffle, no UDF.
     */
   def mightContain(words: Array[Long], m: Long, k: Int,
-      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mightContainFrom(words, m, k, h, h2(h))
+
+  private def mightContainFrom(words: Array[Long], m: Long, k: Int,
+      h: org.apache.spark.sql.Column,
+      rawStride: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val wordsLit = typedlit(words.toSeq)
-    positions(h, m, k).map { p =>
+    positionsFrom(h, rawStride, m, k).map { p =>
       call_function("shiftright",
         element_at(wordsLit, shiftright(p, 6).cast("int") + 1),
         (p % 64).cast("int"))
@@ -144,16 +159,28 @@ object Contamination {
     // one shingling pass feeds the bench count, the filter build, and
     // the probe scan (uncached this is 3 scans + 3 shingle recomputes;
     // caching took the sf0.1 bench run 2.8 s → the probe-pass cost)
-    val shingled = graft.CacheScope.trackedCache(shingleHashes(docs, k))
-    val bench = shingled.filter(col("doc_id") % mod === 0).select(col("h"))
-    val nBench = math.max(1L, bench.distinct().count())
+    // the raw double-hash stride h2(h) is MATERIALIZED into the cache:
+    // inline, each of the 13 probe expressions re-evaluates its own
+    // xxhash64 copy per shingle row (the q258 lesson at the xxhash
+    // tier); m only arrives after the bench count, but the stride is
+    // m-independent so it can ride the cached frame
+    val shingled = graft.CacheScope.trackedCache(
+      shingleHashes(docs, k).withColumn("graft_s", h2(col("h"))))
+    val bench = shingled.filter(col("doc_id") % mod === 0)
+      .select(col("h"), col("graft_s"))
+    val nBench = math.max(1L, bench.select(col("h")).distinct().count())
     // ≈19.2 bits/element (per-shingle FP ≈ 1e-4 at k=13), word-aligned
     val m = math.max(640L, (nBench * 96L / 5L + 63L) / 64L * 64L)
     val kProbes = 13
-    val words = buildBloom(bench, m, kProbes)
+    val posCols = positionsFrom(col("h"), col("graft_s"), m, kProbes)
+    val setPos = bench
+      .select(explode(array(posCols: _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    setPos.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
     shingled
       .filter(col("doc_id") % mod =!= 0)
-      .filter(mightContain(words, m, kProbes, col("h")))
+      .filter(mightContainFrom(words, m, kProbes, col("h"), col("graft_s")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged_shingles"))
   }

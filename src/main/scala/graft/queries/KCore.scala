@@ -47,9 +47,10 @@ object KCore {
     * 2-round cascade), isolated-node removal, and convergence.
     */
   def corePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // explode instead of union-of-two-projections: one pass over the
+    // (cached) edge frame per degree computation instead of two
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("pa").as("node"))
-        .unionAll(e.select(col("pb").as("node")))
+      e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("graft_deg"))
 
     val base = graft.CacheScope.trackedCache(edges)
@@ -114,8 +115,7 @@ object KCore {
   def corePeelToFixpoint(edges: DataFrame, k: Int,
       maxRounds: Int = 64): (DataFrame, Int) = {
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("pa").as("node"))
-        .unionAll(e.select(col("pb").as("node")))
+      e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("graft_deg"))
 
     val base = graft.CacheScope.trackedCache(edges)

@@ -139,8 +139,12 @@ object KmeansAudit {
           lit(ks.sorted.head))) { (acc, k) =>
         acc.when(col(s"d$k") === col("graft_min"), lit(k))
       }
-      val dimSums = (1 to Dims).map(i =>
-        sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
+      // the final round updates no centroids — its pass carries only
+      // (n, inertia), not the 64 dim sums
+      val dimSums =
+        if (r < Rounds) (1 to Dims).map(i =>
+          sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
+        else Seq.empty
       val agg = qv.select(col("qv") +: distCols: _*)
         .withColumn("graft_min", minDist)
         .select(col("qv"), bestK.as("k"), col("graft_min").as("dist"))

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{CacheScope, Q}
@@ -41,19 +40,28 @@ object LabelProp {
     val adj = CacheScope.trackedCache(
       edges.select(col("pa").as("node"), col("pb").as("nbr"))
         .unionAll(edges.select(col("pb").as("node"), col("pa").as("nbr"))))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("graft_c").desc, col("lbl").asc)
     val init = adj.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
-    (1 to rounds).foldLeft(init) { (labels, _) =>
-      adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
-        .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("graft_c"))
-        .withColumn("graft_rn", row_number().over(w))
-        .filter(col("graft_rn") === 1)
-        .select(col("node"), col("lbl"))
-    }
+    (1 to rounds).foldLeft(init)((labels, _) => modeLabel(adj, labels))
   }
+
+  /** One synchronous round: every node adopts its neighbors' mode
+    * label, ties (count DESC, label ASC). The argmax is a second HASH
+    * aggregate — max of struct(count, −label) — instead of the
+    * original per-node row_number window: same two exchanges either
+    * way ((node, lbl) then node), but the aggregate needs no sort and
+    * no WindowExec buffering (guide §1.2 per-task work; labels ≥ 0 so
+    * the negation is overflow-safe). Identical output — the oracle's
+    * ROW_NUMBER spelling picks the same row.
+    */
+  private def modeLabel(adj: DataFrame, labels: DataFrame): DataFrame =
+    adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+      .groupBy(col("node"), col("lbl"))
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy(col("node"))
+      .agg(max(struct(col("graft_c"), (-col("lbl")).as("graft_neg")))
+        .as("graft_best"))
+      .select(col("node"), (-col("graft_best.graft_neg")).as("lbl"))
 
   /** Loop-to-FIXPOINT variant (round-11 production form beside the
     * fixed-round oracle contract): propagate until no node's label
@@ -74,8 +82,6 @@ object LabelProp {
     val adj = CacheScope.trackedCache(
       edges.select(col("pa").as("node"), col("pb").as("nbr"))
         .unionAll(edges.select(col("pb").as("node"), col("pa").as("nbr"))))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("graft_c").desc, col("lbl").asc)
     var labels = adj.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -83,13 +89,7 @@ object LabelProp {
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val next = adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
-        .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("graft_c"))
-        .withColumn("graft_rn", row_number().over(w))
-        .filter(col("graft_rn") === 1)
-        .select(col("node"), col("lbl"))
-        .localCheckpoint(true)
+      val next = modeLabel(adj, labels).localCheckpoint(true)
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("graft_prev")), Seq("node"))
         .filter(col("lbl") =!= col("graft_prev"))
