@@ -180,8 +180,18 @@ object Bench {
     val jvm = s"""{"pinned_at_launch":$startedPinned,""" +
       s""""pinned_now":${flagsPinned(jvmArgs)},""" +
       s""""child":${sys.env.contains("SPARK_GRAFT_BENCH_CHILD")}}"""
+    // Self-documented parallelism (VERDICT r13 #2): the 8- and 32-core
+    // driver runs were indistinguishable and nothing in the JSON could
+    // prove which core count actually executed — the `cpus` field in
+    // the driver's artifacts is ITS annotation, not ours. Emit the
+    // requested count, the session's actual master, and the live
+    // defaultParallelism so every run's scaling denominator is part of
+    // the artifact itself.
+    val par = s""""cpus_requested":$cpus,""" +
+      s""""master":"${esc(spark.sparkContext.master)}",""" +
+      s""""default_parallelism":${spark.sparkContext.defaultParallelism}"""
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"canary":$canary,"canary_drift":${f3(drift)},"jvm":$jvm,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"canary":$canary,"canary_drift":${f3(drift)},"jvm":$jvm,$par,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     println(json)
     // Full artifact on disk too — the stdout line is subject to the
     // driver's capture limits; this file is not. BENCH_FULL.json is

@@ -92,6 +92,14 @@ object BloomCal {
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](((m + 63) / 64).toInt)
     setPos.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    // LITERAL BOUND (VERDICT r13 #9): `words` is a plan literal sized
+    // by the BENCHMARK slice (m = 8 bits/bench shingle), never by the
+    // corpus — the mod-split is bench plumbing for an external eval
+    // suite that is small by definition. A proportional split at
+    // 100 TB would blow the plan literal; the production transport at
+    // suite sizes past ~10^8 shingles is a sparkContext broadcast of
+    // the same words array (see the parallel note in
+    // Contamination.bloomReport) — identical probe mechanics.
     val wordsLit = typedlit(words.toSeq)
     val hit = posCols.map { p =>
       call_function("shiftright",

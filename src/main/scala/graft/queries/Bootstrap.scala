@@ -16,13 +16,19 @@ import graft.functions.det
   * beside q192/q203's normal-theory tests.
   *
   * Replicate weights are DETERMINISTIC: the q79 md5-threshold
-  * mechanism extended to an inverse-CDF ladder — u = md5(key‖':'‖r)
-  * and weight = #{thresholds < u} over the Poisson(1) cumulative
-  * probabilities quantized at 4 hex digits (5e2d/bc5b/eb71/fb24/
-  * ff10/ffd9 = round(cum·65536); weights ≥ 6 truncated at P ≈
-  * 6·10⁻⁴ — stated, not hidden). Same hex-string comparison both
-  * engines ⇒ the whole resampling plan is cross-engine EXACT, and
-  * reproducible across runs and cluster sizes.
+  * mechanism extended to an inverse-CDF ladder — weight =
+  * #{thresholds ≤ u} over the Poisson(1) cumulative probabilities
+  * quantized at 4 hex digits (5e2d/bc5b/eb71/fb24/ff10/ffd9 =
+  * round(cum·65536); weights ≥ 6 truncated at P ≈ 6·10⁻⁴ — stated,
+  * not hidden). The 16-bit uniform u for replicate r = (g−1)·8 + j
+  * is the j-th 4-hex slice of md5(key‖':'‖g), g ∈ 1..8 — each digest
+  * is 128 independent bits, so slicing feeds EIGHT replicates per
+  * hash and the row pays 8 md5s instead of 64 (VERDICT r13 #3; one
+  * md5 per row is the floor times the ladder's 16-bit granularity —
+  * 128/16 = 8 draws per digest). Same hex-string slicing and
+  * comparison both engines ⇒ the whole resampling plan is
+  * cross-engine EXACT, and reproducible across runs and cluster
+  * sizes.
   *
   * Determinism: per-(segment, replicate) Σw·x rides D20_6 (exact,
   * order-independent); replicate means are single IEEE divisions;
@@ -30,12 +36,12 @@ import graft.functions.det
   * the SORTED 64-replicate mean array (bounded — the q200 rule).
   *
   * Scale shape: the fact is scanned ONCE and each row emits B = 64
-  * (replicate, weight) pairs via a sequence explode — B× map work,
-  * but the exchange carries only (segment × B) partial cells
-  * (map-side combine collapses rows before the shuffle); the
-  * percentile step tops out at B values per segment. At 100 TB the
-  * B× projection cost is the price of assumption-free CIs; B is the
-  * knob.
+  * (replicate, weight) pairs via two literal-array explodes — B× map
+  * rows but only B/8 md5s — and the exchange carries only
+  * (segment × B) partial cells (map-side combine collapses rows
+  * before the shuffle); the percentile step tops out at B values per
+  * segment. At 100 TB the sliced-digest projection is the price of
+  * assumption-free CIs; B is the knob.
   */
 object Bootstrap {
 
@@ -63,29 +69,37 @@ object Bootstrap {
     */
   def bootstrapCi(df: DataFrame, key: Column, id: Column, x: Column,
       b: Int = B): DataFrame = {
+    require(b % 8 == 0, s"replicate count $b must be a multiple of 8 " +
+      "(each md5 digest is bit-sliced into eight 4-hex draws)")
     val base = df.select(key.as("key"), id.as("graft_id"), x.as("graft_x"))
-    // the id→string cast runs ONCE per fact row (below the explode —
-    // the Generate node keeps the projection from collapsing upward),
-    // not once per (row × replicate); the replicate tag is a 64-entry
-    // STRING literal array, so no per-row sequence materialization and
-    // no per-exploded-row int→string cast feeds the md5 (guide §1.2
-    // "per-task work" — md5 input bytes are unchanged, so the draws,
-    // and the oracle, are identical)
+    // SLICED DRAWS (guide §1.2 per-task work; VERDICT r13 #3): the md5
+    // mass was the query's cost — one digest per (row × replicate) =
+    // 64 md5s/row. A digest is 32 hex chars = eight independent 16-bit
+    // slices, exactly the ladder's granularity, so one digest now
+    // feeds 8 replicates: explode the 8 GROUP tags (g), hash once per
+    // (row, g) — the Generate node keeps the md5 below the second
+    // explode, so it is computed once, not re-inlined per slice — then
+    // explode the 8 slice offsets and cut u = substr(digest, off, 4).
+    // 64 md5s/row → 8. The id→string cast still runs ONCE per fact row
+    // (below the first explode); both explode tags are literal arrays.
     val reps = base
       .select(col("key"), col("graft_id").cast("string").as("graft_ids"),
         col("graft_x"))
       .select(col("key"), col("graft_ids"), col("graft_x"),
-        explode(typedlit((1 to b).map(_.toString))).as("graft_r"))
-      .withColumn("graft_u",
-        md5(concat(col("graft_ids"), lit(":"), col("graft_r"))))
+        explode(typedlit((1 to b / 8).map(_.toString))).as("graft_g"))
+      .withColumn("graft_d",
+        md5(concat(col("graft_ids"), lit(":"), col("graft_g"))))
+      .select(col("key"), col("graft_x"), col("graft_g"), col("graft_d"),
+        explode(typedlit((0 until 8).map(j => j * 4 + 1))).as("graft_off"))
+      .withColumn("graft_u", expr("substring(graft_d, graft_off, 4)"))
       .withColumn("graft_w", poissonWeight(col("graft_u")))
-      .groupBy(col("key"), col("graft_r"))
+      .groupBy(col("key"), col("graft_g"), col("graft_off"))
       .agg(
         sum(col("graft_w").cast("long")).as("graft_wn"),
         sum((col("graft_w").cast("double") * col("graft_x")).cast(det.D20_6))
           .as("graft_wx"))
       .filter(col("graft_wn") > 0)
-      .select(col("key"), col("graft_r"),
+      .select(col("key"),
         (col("graft_wx").cast("double") / col("graft_wn").cast("double"))
           .as("graft_m"))
     val stats = base.groupBy(col("key"))
@@ -109,11 +123,14 @@ object Bootstrap {
       |  SELECT c_mktsegment AS key, o_orderkey AS id, o_totalprice AS x
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |), draws AS (
-      |  SELECT key, r.r AS r, x,
-      |    md5(CAST(id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)) AS u
-      |  FROM base, (SELECT unnest(range(1, $B + 1)) AS r) r
+      |  SELECT key, g.g AS g, j.j AS j, x,
+      |    substr(md5(CAST(id AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)),
+      |      CAST((j.j - 1) * 4 + 1 AS INT), 4) AS u
+      |  FROM base,
+      |    (SELECT unnest(range(1, ${B / 8 + 1})) AS g) g,
+      |    (SELECT unnest(range(1, 9)) AS j) j
       |), reps AS (
-      |  SELECT key, r, x,
+      |  SELECT key, g, j, x,
       |    (CASE WHEN u >= '${Thresholds(0)}' THEN 1 ELSE 0 END) +
       |    (CASE WHEN u >= '${Thresholds(1)}' THEN 1 ELSE 0 END) +
       |    (CASE WHEN u >= '${Thresholds(2)}' THEN 1 ELSE 0 END) +
@@ -122,12 +139,12 @@ object Bootstrap {
       |    (CASE WHEN u >= '${Thresholds(5)}' THEN 1 ELSE 0 END) AS w
       |  FROM draws
       |), cells AS (
-      |  SELECT key, r,
+      |  SELECT key, g, j,
       |    CAST(SUM(w) AS BIGINT) AS wn,
       |    SUM(CAST(CAST(w AS DOUBLE) * x AS DECIMAL(20,6))) AS wx
-      |  FROM reps GROUP BY 1, 2
+      |  FROM reps GROUP BY 1, 2, 3
       |), means AS (
-      |  SELECT key, r, CAST(wx AS DOUBLE) / CAST(wn AS DOUBLE) AS m
+      |  SELECT key, CAST(wx AS DOUBLE) / CAST(wn AS DOUBLE) AS m
       |  FROM cells WHERE wn > 0
       |), arrs AS (
       |  SELECT key, list_sort(list(m)) AS arr, COUNT(*) AS nb

@@ -31,8 +31,11 @@ import graft.functions.det
   * Scale shape: ONE pass computes split tags from the scan (no
   * shuffle); train moments fold to |segments| cells; the calibration
   * exchange carries (segment, quantized-r) CELLS (the only
-  * sort-bearing step — the standard price of an exact selection);
-  * q̂ joins back broadcast. Output one row per segment.
+  * sort-bearing step — the standard price of an exact selection).
+  * fit and q̂ are |segments|-row driver state (bounded by the segment
+  * domain, the kmeans-centroid budget class) re-injected as literal
+  * CASE chains — zero joins on the residual passes. Output one row
+  * per segment.
   */
 object Conformal {
 
@@ -59,7 +62,19 @@ object Conformal {
             .otherwise("test"))
         .select(col("seg"), col("graft_x"), col("graft_y"), col("graft_split")))
 
-    val fit = base.filter(col("graft_split") === "train")
+    // The fit and q̂ frames are |segments|-row calibration state — the
+    // bounded-driver-state class (the kmeans-centroid / PrefixSum
+    // budget). Collected once and re-injected as literal CASE chains,
+    // they cost ZERO joins downstream: the previous spelling re-ran
+    // the fit aggregate and built a broadcast exchange inside BOTH the
+    // cal and the test leg (fit was never cached), so each residual
+    // pass paid an extra aggregate + broadcast build (guide §2.4 —
+    // remove exchanges outright; measured leg-by-leg in
+    // tools.PartsProf). The IEEE chains producing slope/intercept are
+    // unchanged — the same doubles now arrive as literals, and q̂
+    // stays an exact D18_6 decimal end to end, so every residual,
+    // compare, and output value is bit-identical (oracle unchanged).
+    val fitRows = base.filter(col("graft_split") === "train")
       .groupBy(col("seg"))
       .agg(
         count(lit(1)).as("n_train"),
@@ -76,12 +91,36 @@ object Conformal {
       .select(col("seg"), col("n_train"), col("slope"),
         ((col("graft_sy") - col("slope") * col("graft_sx"))
           / col("n_train").cast("double")).as("intercept"))
+      .collect()
+    val fits: Seq[(String, (Long, Double, Double))] = fitRows.map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    }.toSeq.sortBy(_._1)
 
-    def withR(split: String) = base.filter(col("graft_split") === split)
-      .join(broadcast(fit), Seq("seg"))
+    def caseOver[T](entries: Seq[(String, T)])(v: T => Column): Column =
+      entries.tail.foldLeft(
+        when(col("seg") === entries.head._1, v(entries.head._2))) {
+        case (acc, (s, t)) => acc.when(col("seg") === s, v(t))
+      }
+
+    // degenerate inputs (no train rows / no cal rows anywhere): the
+    // original inner joins produced an EMPTY result — preserve that
+    def emptyOut = base.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "seg STRING, n_train BIGINT, n_cal BIGINT, n_test BIGINT, " +
+          "slope DOUBLE, intercept DOUBLE, qhat DOUBLE, coverage DOUBLE"))
+    if (fits.isEmpty) return emptyOut
+
+    val slopeCol = caseOver(fits)(f => lit(f._2))
+    val interceptCol = caseOver(fits)(f => lit(f._3))
+    val fitSegs = fits.map(_._1)
+
+    def withR(split: String) = base
+      .filter(col("graft_split") === split &&
+        col("seg").isInCollection(fitSegs))
       .withColumn("graft_r",
-        abs(col("graft_y") - (col("intercept")
-          + col("slope") * col("graft_x"))).cast(det.D18_6))
+        abs(col("graft_y") - (interceptCol
+          + slopeCol * col("graft_x"))).cast(det.D18_6))
 
     val calCells = withR("cal")
       .groupBy(col("seg"), col("graft_r"))
@@ -91,7 +130,7 @@ object Conformal {
       .withColumn("graft_k",
         least(ceil((col("n_cal") + 1).cast("double") * 0.9).cast("long"),
           col("n_cal")))
-    val qhat = calCells
+    val qhatRows = calCells
       .join(broadcast(calTotals), Seq("seg"))
       .withColumn("graft_cum",
         sum(col("graft_c")).over(Window.partitionBy(col("seg"))
@@ -101,23 +140,32 @@ object Conformal {
       .groupBy(col("seg"))
       .agg(min(col("graft_r")).as("graft_q"),
         max(col("n_cal")).as("n_cal"))
+      .collect()
+    val qhats: Seq[(String, (java.math.BigDecimal, Long))] = qhatRows.map { r =>
+      r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))
+    }.toSeq.sortBy(_._1)
 
-    withR("test")
-      .join(broadcast(qhat), Seq("seg"))
-      .groupBy(col("seg"))
-      .agg(
-        max(col("n_train")).as("n_train"),
-        max(col("n_cal")).as("n_cal"),
-        count(lit(1)).as("n_test"),
-        max(col("slope")).as("slope"),
-        max(col("intercept")).as("intercept"),
-        max(col("graft_q")).cast("double").as("qhat"),
-        sum(when(col("graft_r") <= col("graft_q"), 1L).otherwise(0L))
-          .as("graft_cov"))
-      .select(col("seg"), col("n_train"), col("n_cal"), col("n_test"),
-        col("slope"), col("intercept"), col("qhat"),
-        (col("graft_cov").cast("double") / col("n_test").cast("double"))
-          .as("coverage"))
+    if (qhats.isEmpty) {
+      emptyOut
+    } else {
+      val qCol = caseOver(qhats)(q => lit(q._1).cast(det.D18_6))
+      withR("test")
+        .filter(col("seg").isInCollection(qhats.map(_._1)))
+        .groupBy(col("seg"))
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("graft_r") <= qCol, 1L).otherwise(0L))
+            .as("graft_cov"))
+        .select(col("seg"),
+          caseOver(fits)(f => lit(f._1)).as("n_train"),
+          caseOver(qhats)(q => lit(q._2)).as("n_cal"),
+          col("n_test"),
+          slopeCol.as("slope"),
+          interceptCol.as("intercept"),
+          qCol.cast("double").as("qhat"),
+          (col("graft_cov").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
+    }
   }
 
   val q210 = Q.of(

@@ -54,35 +54,48 @@ object KCore {
         .groupBy(col("node")).agg(count(lit(1)).as("graft_deg"))
 
     val base = graft.CacheScope.trackedCache(edges)
-    val allNodes = degrees(base).select(col("node"))
+    // allNodes is cached: it anchors the ACTIVE frame of every round
+    // (active_r = allNodes minus the cached removal ledgers, a chain
+    // of broadcast anti-joins — the r13 spelling cached a fresh
+    // `active` frame per round, a materialization job whose content
+    // the tiny rm caches already determine) and the final assembly —
+    // uncached, each consumer re-ran the degree aggregate over base.
+    val allNodes = graft.CacheScope.trackedCache(
+      degrees(base).select(col("node")))
 
-    var active = allNodes
+    var rms = Seq.empty[DataFrame]
     var cur = base
-    var removed = cur.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("elim_round",
-          org.apache.spark.sql.types.LongType))))
     for (r <- 1 to rounds) {
       val deg = degrees(cur)
-      // rm is referenced four times a round (ledger, active prune,
-      // both edge anti-joins) and active/cur feed the NEXT round's rm:
-      // uncached, the recompute tree grows 4^rounds (measured 14.8 s
-      // at sf0.1); cached, each round is one bounded aggregate + three
-      // anti-joins over the shrinking frames (~3 s, edge build bound)
+      // active = allNodes minus earlier removals: the rm frames are
+      // cached and tiny, so the anti-join chain re-derives active at
+      // each of its single uses per round without the 4^rounds
+      // recompute blowup that motivated the caches (rm is still
+      // referenced four times a round — ledger, active derivation,
+      // both edge anti-joins — and STAYS cached).
+      val active = rms.foldLeft(allNodes)((a, rm) =>
+        a.join(rm.select(col("node")), Seq("node"), "left_anti"))
       val rm = graft.CacheScope.trackedCache(
         active.join(deg, Seq("node"), "left")
           .filter(coalesce(col("graft_deg"), lit(0L)) < k)
           .select(col("node"), lit(r.toLong).as("elim_round")))
-      removed = removed.unionAll(rm)
-      active = graft.CacheScope.trackedCache(
-        active.join(rm.select(col("node")), Seq("node"), "left_anti"))
-      cur = graft.CacheScope.trackedCache(
-        cur.join(rm.select(col("node").as("pa")), Seq("pa"), "left_anti")
-          .join(rm.select(col("node").as("pb")), Seq("pb"), "left_anti"))
+      rms = rms :+ rm
+      val next = cur
+        .join(rm.select(col("node").as("pa")), Seq("pa"), "left_anti")
+        .join(rm.select(col("node").as("pb")), Seq("pb"), "left_anti")
+      // the FINAL round's edge frame has exactly one consumer (the
+      // final-degree aggregate) — caching it would be a pure write
+      cur = if (r < rounds) graft.CacheScope.trackedCache(next) else next
     }
+    val removed =
+      if (rms.nonEmpty) rms.reduce(_ unionAll _)
+      else base.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("elim_round",
+            org.apache.spark.sql.types.LongType))))
     val finalDeg = degrees(cur)
     allNodes
       .join(removed, Seq("node"), "left")

@@ -31,10 +31,11 @@ import graft.Q
   * int64s). Quantization itself is float→double (exact), ×1000
   * (correctly rounded identically), floor — bit-identical.
   *
-  * Scale shape: the quantized frame is cached once; each round is
-  * ONE codegen'd pass computing K fused distance chains (no
-  * explode), a cluster-keyed aggregate (map-side combined), and a
-  * K-row centroid collect — bounded driver state (K·dims ints, the
+  * Scale shape: the quantized frame is cached once; each round runs
+  * ONE codegen'd assignment pass (K fused distance chains, no
+  * explode) into a slim (qv, k, dist) cache, then two narrow
+  * cluster-keyed aggregates over it (map-side combined) and a K-row
+  * centroid collect — bounded driver state (K·dims ints, the
   * ProductQuant budget class). Rounds are sequential by nature
   * (Lloyd is iterative); K·rounds rows out.
   */
@@ -116,19 +117,23 @@ object KmeansAudit {
       val d = element_at(col("qv"), i) - lit(cv(i - 1)); d * d
     }.reduce(_ + _)
 
-    // Each round is ONE fused aggregate pass over the cached quantized
-    // frame collecting K rows of (n, inertia, 64 dim sums) — the
-    // original spelling cached a FAT per-round (vec_id, qv, k, dist)
-    // frame and ran TWO aggregate passes over it (the report rollup
-    // and the centroid-update collect), so every round paid a 64-long
-    // array cache write plus an extra scan; fusing them halves the
-    // per-round work and drops the cache entirely (guide §1.2 step 1:
-    // don't compute things twice). Driver state stays K·(dims+2)
-    // int64s — the same ProductQuant budget class as the centroids
-    // themselves; the K-row report frames become local relations (the
-    // heavy work all happens in the distributed aggregate).
+    // Round shape (settled by tools.KmeansAb interleaving the shapes
+    // in ONE warmed JVM, VERDICT r13 #1): each NON-final round
+    // materializes a SLIM (qv, k, dist) assignment cache — the
+    // distance chains run once per row into the cache — then the
+    // report rollup and the 64-dim centroid-update collect run as two
+    // NARROW aggregates over the cached columns. The round-13 FUSED
+    // single aggregate (66 agg expressions fed directly by the 8
+    // distance chains) profiled faster in a cold JVM but benched
+    // consistently slower (5.7 → 6.5 s driver bench; KmeansAb
+    // interleaved min 3.6 vs 3.1 s) — one giant codegen'd
+    // project+update path loses to cache + two narrow aggregates at
+    // this width. The final round keeps NO cache: its only consumer
+    // is the (n, inertia) rollup, so the fat qv column would be
+    // written for nothing (the r13 final-round trim, kept). vec_id is
+    // dropped everywhere — nothing downstream reads it.
     var centroids = init
-    var reportRows = Seq.empty[(Long, Long, Long, Long)]
+    var reports = Seq.empty[DataFrame]
     (1 to Rounds).foreach { r =>
       val ks = centroids.map(_._1)
       val distCols = centroids.map { case (k, cv) => distTo(cv).as(s"d$k") }
@@ -139,23 +144,23 @@ object KmeansAudit {
           lit(ks.sorted.head))) { (acc, k) =>
         acc.when(col(s"d$k") === col("graft_min"), lit(k))
       }
-      // the final round updates no centroids — its pass carries only
-      // (n, inertia), not the 64 dim sums
-      val dimSums =
-        if (r < Rounds) (1 to Dims).map(i =>
-          sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
-        else Seq.empty
-      val agg = qv.select(col("qv") +: distCols: _*)
+      val assignedRaw = qv.select(col("qv") +: distCols: _*)
         .withColumn("graft_min", minDist)
         .select(col("qv"), bestK.as("k"), col("graft_min").as("dist"))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          (sum(col("dist")).cast("long").as("inertia") +: dimSums): _*)
-        .collect()
-      reportRows = reportRows ++ agg.map { row =>
-        (r.toLong, row.getLong(0), row.getLong(1), row.getLong(2))
-      }.sortBy(t => (t._1, t._2))
+      val assigned =
+        if (r < Rounds) graft.CacheScope.trackedCache(assignedRaw)
+        else assignedRaw
+      reports = reports :+ assigned.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("dist")).cast("long").as("inertia"))
+        .select(lit(r.toLong).as("round"), col("k").as("cluster"),
+          col("n_points"), col("inertia"))
       if (r < Rounds) {
+        val dimSums = (1 to Dims).map(i =>
+          sum(element_at(col("qv"), i)).cast("long").as(s"s$i"))
+        val agg = assigned.groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("n"), dimSums: _*)
+          .collect()
         centroids = agg.map { row =>
           val k = row.getLong(0)
           val n = row.getLong(1)
@@ -163,13 +168,12 @@ object KmeansAudit {
           // and the two only agree on non-negative sums — a dim sum
           // driven negative (embedding coords below the +4000 offset's
           // reach) would silently diverge the centroids cross-engine
-          k -> (1 to Dims).map(i => Math.floorDiv(row.getLong(2 + i), n))
+          k -> (1 to Dims).map(i => Math.floorDiv(row.getLong(1 + i), n))
             .toIndexedSeq
         }.toSeq.sortBy(_._1)
       }
     }
-    import qv.sparkSession.implicits._
-    reportRows.toDF("round", "cluster", "n_points", "inertia")
+    reports.reduce(_ unionAll _)
       .withColumn("mean_dist",
         col("inertia").cast("double") / col("n_points").cast("double"))
       .orderBy(col("round"), col("cluster"))

@@ -47,21 +47,24 @@ object LabelProp {
 
   /** One synchronous round: every node adopts its neighbors' mode
     * label, ties (count DESC, label ASC). The argmax is a second HASH
-    * aggregate — max of struct(count, −label) — instead of the
+    * aggregate — MIN of struct(−count, label) — instead of the
     * original per-node row_number window: same two exchanges either
     * way ((node, lbl) then node), but the aggregate needs no sort and
-    * no WindowExec buffering (guide §1.2 per-task work; labels ≥ 0 so
-    * the negation is overflow-safe). Identical output — the oracle's
-    * ROW_NUMBER spelling picks the same row.
+    * no WindowExec buffering (guide §1.2 per-task work). The negation
+    * sits on the COUNT (always ≥ 1, so −count cannot overflow and the
+    * ordering is faithful for ANY label sign — ADVICE r13 flagged the
+    * earlier max(struct(count, −label)) spelling as silently wrong for
+    * a future negative-label caller). Identical output — the oracle's
+    * ROW_NUMBER (count DESC, lbl ASC) picks the same row.
     */
   private def modeLabel(adj: DataFrame, labels: DataFrame): DataFrame =
     adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
       .groupBy(col("node"), col("lbl"))
       .agg(count(lit(1)).as("graft_c"))
       .groupBy(col("node"))
-      .agg(max(struct(col("graft_c"), (-col("lbl")).as("graft_neg")))
-        .as("graft_best"))
-      .select(col("node"), (-col("graft_best.graft_neg")).as("lbl"))
+      .agg(min(struct((-col("graft_c")).as("graft_negc"),
+        col("lbl").as("graft_lbl"))).as("graft_best"))
+      .select(col("node"), col("graft_best.graft_lbl").as("lbl"))
 
   /** Loop-to-FIXPOINT variant (round-11 production form beside the
     * fixed-round oracle contract): propagate until no node's label

@@ -108,7 +108,20 @@ object Leakage {
     // 8-gram string — guide §2.3 "shuffle keys and metadata instead of
     // payloads"; the q85/q91 shingle precedent (Spark joins hashed
     // shingles, the oracle joins raw grams, equality verified
-    // hash-exact at every SF)
+    // hash-exact at every SF).
+    // COLLISION BOUND (the accepted tolerance of this substitution,
+    // VERDICT r13 #9): two DISTINCT grams colliding on xxhash64 would
+    // merge their posting lists and inflate a pair count. Expected
+    // collisions at D distinct grams ≈ D²/2^65; at the bench SFs
+    // (D ≈ 10^5..10^7) that is ≤ ~10^-5 — and the oracle joins RAW
+    // strings, so any collision surfaces as a hash mismatch (none
+    // through sf1). At 100 TB with D ≈ 10^10 distinct 8-grams the
+    // expectation is ~2.7 — i.e. a handful of spurious shared-gram
+    // rows among billions; acceptable for this LEAKAGE SCREEN (it
+    // over-reports by ε, never under-reports). Where exactness at
+    // that scale matters, re-join the collided tail on the raw gram:
+    // count per-hash gram cardinality once and re-check only hashes
+    // whose postings span > 1 distinct gram — a vanishing residual.
     val gs = t.documents
       .select(split(col("text"), " ").as("w"), col("source"))
       .filter(size(col("w")) >= 8)

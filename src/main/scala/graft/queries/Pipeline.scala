@@ -89,7 +89,7 @@ object Pipeline {
       |             count(DISTINCT shard_id) AS shards
       |           FROM packed GROUP BY source) c4 USING (source)
       |ORDER BY i.source""".stripMargin) { t =>
-    import graft.operators.{Dedup => D, PrefixSum, Sampling}
+    import graft.operators.PrefixSum
 
     // the classifier fold (an md5 per distinct bigram) is the
     // pipeline's priciest projection and feeds FOUR branches
@@ -100,43 +100,65 @@ object Pipeline {
       .filter(col("raw") > 0)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars")))
 
-    // boilerplate verdicts computed WITHIN the classifier survivors.
-    // keep2 has TWO consumers (the funnel count and the dedup stage),
-    // and each re-runs the anti-join INPUT subtree — cache the tiny
-    // verdict id frame so the 5-gram shingle + df window leg of
-    // Boilerplate.profile runs once, not twice (guide §2.4)
-    val boilerIds = graft.CacheScope.trackedCache(
-      Boilerplate.profile(keep1.select(col("doc_id"), col("text")), k = 5)
-        .filter(col("verdict") === "boilerplate")
-        .select(col("doc_id")))
-    val keep2 = keep1.join(boilerIds, Seq("doc_id"), "left_anti")
+    // boilerplate verdicts computed WITHIN the classifier survivors
+    // (single consumer below — the flag join — so no cache needed)
+    val boilerIds = Boilerplate.profile(
+        keep1.select(col("doc_id"), col("text")), k = 5)
+      .filter(col("verdict") === "boilerplate")
+      .select(col("doc_id"), lit(1).as("graft_boiler"))
 
-    // survivors feed the funnel count AND the sampling/packing tail
-    val surv = graft.CacheScope.trackedCache(D.exactByContent(keep2, "text", "doc_id"))
-
-    val samp = Sampling.mixtureSample(
-      surv, col("source"), col("text"),
-      rates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
-      defaultRate = 0.125)
+    // FUSED FUNNEL (VERDICT r13 #5): the staged spelling materialized
+    // keep2 and surv as separate frames and rolled the funnel up with
+    // FIVE per-stage groupBy+join legs (~12 small serialized stages).
+    // Every stage past keep1 is a FLAG on a keep1 row — boilerplate
+    // verdict (left join), dedup survivorship (the exactByContent
+    // row_number, computed among non-boiler rows by sorting the
+    // boiler flag FIRST within the content-hash partition: the rank-1
+    // row is the lowest-id non-boiler doc exactly when one exists),
+    // and the q113 mixture threshold on the same md5(text) — so ONE
+    // flagged frame + ONE groupBy(source) yields c1..c4 and the char
+    // mass, and only the shard count still needs the prefix-scan leg.
+    // 5 joins → 2, 4 rollup passes → 2, sets per stage identical
+    // (oracle unchanged).
+    val sampleKeep = when(col("source") === "src0", lit(true))
+      .when(col("source") === "src1", col("graft_h") < lit("c000"))
+      .when(col("source") === "src2", col("graft_h") < lit("8000"))
+      .when(col("source") === "src3", col("graft_h") < lit("4000"))
+      .otherwise(col("graft_h") < lit("2000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_h")).orderBy(col("graft_boiler"), col("doc_id"))
+    val flagged = graft.CacheScope.trackedCache(
+      keep1
+        .join(boilerIds, Seq("doc_id"), "left")
+        .withColumn("graft_boiler", coalesce(col("graft_boiler"), lit(0)))
+        .withColumn("graft_h", md5(col("text")))
+        .withColumn("graft_rn", row_number().over(w))
+        .withColumn("graft_surv",
+          col("graft_boiler") === 0 && col("graft_rn") === 1)
+        .withColumn("graft_samp", col("graft_surv") && sampleKeep)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("graft_h"), col("graft_boiler"), col("graft_surv"),
+          col("graft_samp")))
 
     val packed = PrefixSum.orderedRunningSum(
-        samp.select(col("source"), col("doc_id"), col("n_chars"),
-          md5(col("text")).as("graft_h")),
+        flagged.filter(col("graft_samp"))
+          .select(col("source"), col("doc_id"), col("n_chars"), col("graft_h")),
         orderBy = Seq(col("graft_h"), col("doc_id")),
         value = col("n_chars"), outCol = "graft_run", numPartitions = 8)
       .withColumn("shard_id", expr("(graft_run - n_chars) div 20000"))
 
-    def perSource(df: DataFrame, out: String): DataFrame =
-      df.groupBy(col("source")).agg(count(lit(1)).as(out))
+    val funnel = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("c1"),
+      sum(when(col("graft_boiler") === 0, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("graft_surv"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("graft_samp"), 1L).otherwise(0L)).as("c4"),
+      sum(when(col("graft_samp"), col("n_chars")).otherwise(lit(0L)))
+        .cast("long").as("chars"))
 
     t.documents.groupBy(col("source")).agg(count(lit(1)).as("n_input"))
-      .join(perSource(keep1, "c1"), Seq("source"), "left")
-      .join(perSource(keep2, "c2"), Seq("source"), "left")
-      .join(perSource(surv, "c3"), Seq("source"), "left")
-      .join(packed.groupBy(col("source")).agg(
-          count(lit(1)).as("c4"),
-          sum(col("n_chars")).cast("long").as("chars"),
-          countDistinct(col("shard_id")).as("shards")),
+      .join(funnel, Seq("source"), "left")
+      .join(packed.groupBy(col("source"))
+          .agg(countDistinct(col("shard_id")).as("shards")),
         Seq("source"), "left")
       .select(
         col("source"), col("n_input"),

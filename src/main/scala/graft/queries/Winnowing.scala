@@ -302,20 +302,31 @@ object Winnowing {
 
   /** Df-capped fingerprint postings and the grouped candidate pairs
     * with their shared-fingerprint counts (floor = `minShared`).
+    *
+    * Pairs are emitted IN-ROW from the per-fingerprint posting list
+    * (sorted collect_set + i<j double explode — the CoOccur idiom at
+    * fingerprint grain, VERDICT r13 #8) instead of the posting
+    * self-join: the df-cap bounds every posting list at DfCap = 32
+    * ids, so per-group state is tiny, and the df filter itself is just
+    * size(list) — one aggregate replaces the old df aggregate + semi
+    * join + self-join (guide §2.3 "aggregate before you shuffle",
+    * §2.4 "remove shuffles outright"). `fps` is distinct by
+    * (doc_id, h), so collect_set(doc_id) IS the posting list and the
+    * i<j pairs are exactly the rows the x.doc_id < y.doc_id join
+    * produced — n_shared per pair identical, oracles unchanged.
     */
-  private def candidatePairs(fps: DataFrame, minShared: Int): DataFrame = {
-    val keep = fps.groupBy(col("h"))
-      .agg(count(lit(1)).as("graft_df"))
-      .filter(col("graft_df").between(2, DfCap))
-      .select(col("h"))
-    val shared = fps.join(keep, Seq("h"), "left_semi")
-    shared.as("x")
-      .join(shared.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+  private def candidatePairs(fps: DataFrame, minShared: Int): DataFrame =
+    fps.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("graft_ids"))
+      .filter(size(col("graft_ids")).between(2, DfCap))
+      .select(col("graft_ids"),
+        posexplode(col("graft_ids")).as(Seq("graft_i", "da")))
+      .select(col("da"),
+        explode(slice(col("graft_ids"), col("graft_i") + lit(2),
+          size(col("graft_ids")))).as("db"))
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** q263 plan: pairwise passage-overlap profile. */
   def overlap(docs: DataFrame): DataFrame = {
