@@ -34,11 +34,16 @@ object PageRank {
     * loop's lifetime (caller's CacheScope governs release).
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // deg is cached: it feeds the withDeg join AND seeds r0 (its src
+    // set IS the node set under the symmetric-edge contract), so the
+    // initial rank frame reads the tiny |V| cache instead of running
+    // a distinct exchange over the |E| frame, and the degree
+    // aggregate runs once, not per consumer (guide §2.4)
+    val deg = graft.CacheScope.trackedCache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val withDeg = graft.CacheScope.trackedCache(
       edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
-    var r = withDeg.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1000000L).as("rank"))
+    var r = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) r = step(withDeg, r)
     r
   }
@@ -69,11 +74,11 @@ object PageRank {
     * invariance of further iteration.
     */
   def ranksToFixpoint(edges: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = graft.CacheScope.trackedCache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val withDeg = graft.CacheScope.trackedCache(
       edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
-    var r = withDeg.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1000000L).as("rank"))
+    var r = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
     var iters = 0
     var converged = false

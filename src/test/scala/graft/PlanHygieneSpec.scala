@@ -93,24 +93,36 @@ class PlanHygieneSpec extends SparkSpec {
       case _ => false
     }
 
-  test("no registered query plans a cartesian product; BNLJ only broadcasts one-row/literal frames") {
-    val offenders = Seq.newBuilder[String]
-    Registry.all.foreach { q =>
+  /** ONE registry construction pass shared by the three sweep tests:
+    * building a query's frame is not free — the iterative queries
+    * (q179/q210/q253…) execute their driver-collect rounds at
+    * construction time — and the three sweeps each re-built all 276
+    * frames (~3 min of the suite's wall time, VERDICT r13 #2). The
+    * plan-node lists are retained; each rule still sees every node.
+    */
+  private lazy val sweep: Seq[(String, Seq[SparkPlan])] =
+    Registry.all.map { q =>
       val df = q.run(spark, sfDir)
       val nodes = physicalNodes(df)
+      spark.catalog.clearCache()
+      q.name -> nodes
+    }
+
+  test("no registered query plans a cartesian product; BNLJ only broadcasts one-row/literal frames") {
+    val offenders = Seq.newBuilder[String]
+    sweep.foreach { case (qName, nodes) =>
       nodes.foreach {
         case _: CartesianProductExec =>
-          offenders += s"${q.name}: CartesianProductExec"
-        case b: BroadcastNestedLoopJoinExec if !allowedBnlj(q.name) =>
+          offenders += s"$qName: CartesianProductExec"
+        case b: BroadcastNestedLoopJoinExec if !allowedBnlj(qName) =>
           val side = b.buildSide match {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
             case _ => b.right
           }
           if (!provablyTiny(side))
-            offenders += s"${q.name}: BroadcastNestedLoopJoin over a non-tiny side:\n$b"
+            offenders += s"$qName: BroadcastNestedLoopJoin over a non-tiny side:\n$b"
         case _ => ()
       }
-      spark.catalog.clearCache()
     }
     val bad = offenders.result()
     assert(bad.isEmpty, s"plan hygiene violations:\n${bad.mkString("\n")}")
@@ -163,15 +175,13 @@ class PlanHygieneSpec extends SparkSpec {
     // with a recorded rationale; anything else fails the sweep.
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = Seq.newBuilder[String]
-    Registry.all.foreach { q =>
-      val df = q.run(spark, sfDir)
-      physicalNodes(df).foreach {
+    sweep.foreach { case (qName, nodes) =>
+      nodes.foreach {
         case w: WindowExec
-            if w.partitionSpec.isEmpty && !allowedGlobalWindow.contains(q.name) =>
-          offenders += s"${q.name}: empty-partition WindowExec\n  ${w.simpleString(120)}"
+            if w.partitionSpec.isEmpty && !allowedGlobalWindow.contains(qName) =>
+          offenders += s"$qName: empty-partition WindowExec\n  ${w.simpleString(120)}"
         case _ => ()
       }
-      spark.catalog.clearCache()
     }
     val bad = offenders.result()
     assert(bad.isEmpty,
@@ -209,21 +219,19 @@ class PlanHygieneSpec extends SparkSpec {
     // whole corpus by definition — nothing to prune or push
     val fullWidthByDesign = Set("q255_triplet_margin")
     val offenders = Seq.newBuilder[String]
-    Registry.all.foreach { q =>
-      val df = q.run(spark, sfDir)
-      physicalNodes(df).foreach {
-        case f: FileSourceScanExec if !fullWidthByDesign(q.name) =>
+    sweep.foreach { case (qName, nodes) =>
+      nodes.foreach {
+        case f: FileSourceScanExec if !fullWidthByDesign(qName) =>
           val table = f.relation.location.rootPaths.headOption
             .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
           factWidth.get(table).foreach { width =>
             val pushed = f.metadata.getOrElse("PushedFilters", "[]")
             val cols = f.requiredSchema.fieldNames.length
             if (pushed == "[]" && cols >= width)
-              offenders += s"${q.name}: unfiltered $table scan reads $cols of $width cols"
+              offenders += s"$qName: unfiltered $table scan reads $cols of $width cols"
           }
         case _ => ()
       }
-      spark.catalog.clearCache()
     }
     val bad = offenders.result()
     assert(bad.isEmpty, s"unpruned unfiltered fact scans:\n${bad.mkString("\n")}")
