@@ -306,19 +306,28 @@ object Winnowing {
     * Pairs are emitted IN-ROW from the per-fingerprint posting list
     * (sorted collect_set + i<j double explode — the CoOccur idiom at
     * fingerprint grain, VERDICT r13 #8) instead of the posting
-    * self-join: the df-cap bounds every posting list at DfCap = 32
-    * ids, so per-group state is tiny, and the df filter itself is just
-    * size(list) — one aggregate replaces the old df aggregate + semi
-    * join + self-join (guide §2.3 "aggregate before you shuffle",
-    * §2.4 "remove shuffles outright"). `fps` is distinct by
-    * (doc_id, h), so collect_set(doc_id) IS the posting list and the
-    * i<j pairs are exactly the rows the x.doc_id < y.doc_id join
-    * produced — n_shared per pair identical, oracles unchanged.
+    * self-join. Two-stage, because the df DISTRIBUTION is nothing
+    * like a basket file's: most fingerprints are singletons, and
+    * collecting a posting array for every one of them runs the whole
+    * corpus through an ObjectHashAggregate (measured SLOWER than the
+    * self-join it replaced — profile 2.8 → 3.8 s). So stage 1 is the
+    * original cheap codegen'd count aggregate (df filter 2..DfCap),
+    * and only the SURVIVING postings — a small fraction, each list
+    * ≤ DfCap = 32 ids — are collected and double-exploded. The join
+    * disappears; the object aggregate touches only multi-doc
+    * fingerprints. `fps` is distinct by (doc_id, h), so
+    * collect_set(doc_id) IS the posting list and the i<j pairs are
+    * exactly the rows the x.doc_id < y.doc_id join produced —
+    * n_shared per pair identical, oracles unchanged.
     */
-  private def candidatePairs(fps: DataFrame, minShared: Int): DataFrame =
-    fps.groupBy(col("h"))
+  private def candidatePairs(fps: DataFrame, minShared: Int): DataFrame = {
+    val keep = fps.groupBy(col("h"))
+      .agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df").between(2, DfCap))
+      .select(col("h"))
+    fps.join(keep, Seq("h"), "left_semi")
+      .groupBy(col("h"))
       .agg(sort_array(collect_set(col("doc_id"))).as("graft_ids"))
-      .filter(size(col("graft_ids")).between(2, DfCap))
       .select(col("graft_ids"),
         posexplode(col("graft_ids")).as(Seq("graft_i", "da")))
       .select(col("da"),
@@ -327,6 +336,7 @@ object Winnowing {
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
 
   /** q263 plan: pairwise passage-overlap profile. */
   def overlap(docs: DataFrame): DataFrame = {
